@@ -1,0 +1,300 @@
+"""Shared NN building blocks (flax.linen, NHWC).
+
+TPU-native equivalents of the reference's block vocabulary:
+ - ConvNormAct            (vision_toolbox ConvBnAct, used by GenericHead,
+                           reference models/meta.py:21-30)
+ - conv type variants     normal / separable / deformable
+                           (reference models/layers.py:40-79)
+ - Upsample variants      conv_transpose (bilinear-init) / nearest / bilinear
+                           (reference models/layers.py:81-116)
+ - Downsample variants    max / avg / conv stride 2 (reference layers.py:118-136)
+ - Fuse                   BiFPN/IDA fusion node with optional softmax-free
+                           weighted sum (reference models/layers.py:138-177)
+ - SPP                    spatial pyramid pooling extra block (meta.py:43 slot)
+
+Everything is NHWC and static-shape. BatchNorm cross-replica sync is free
+under GSPMD (XLA sees the global batch), replacing Lightning's SyncBN.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+__all__ = [
+    "ConvNormAct",
+    "SeparableConvNormAct",
+    "DeformableConvBlock",
+    "Upsample",
+    "Downsample",
+    "Fuse",
+    "SPP",
+    "CONV_BLOCKS",
+]
+
+
+class ConvNormAct(nn.Module):
+    """Conv -> BatchNorm -> activation. The reference's ConvBnAct unit."""
+
+    out_channels: int
+    kernel_size: int = 3
+    strides: int = 1
+    groups: int = 1
+    act: Callable = nn.relu
+    use_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.out_channels,
+            (self.kernel_size, self.kernel_size),
+            strides=self.strides,
+            feature_group_count=self.groups,
+            use_bias=not self.use_norm,
+            padding="SAME",
+            kernel_init=nn.initializers.he_normal(),
+        )(x)
+        if self.use_norm:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
+        if self.act is not None:
+            x = self.act(x)
+        return x
+
+
+class SeparableConvNormAct(nn.Module):
+    """Depthwise 3x3 + pointwise 1x1, each with BN+ReLU (reference layers.py:57-66)."""
+
+    out_channels: int
+    kernel_size: int = 3
+    strides: int = 1
+    act: Callable = nn.relu
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_c = x.shape[-1]
+        x = ConvNormAct(
+            in_c, self.kernel_size, strides=self.strides, groups=in_c, act=self.act
+        )(x, train)
+        x = ConvNormAct(self.out_channels, 1, act=self.act)(x, train)
+        return x
+
+
+class DeformableConvBlock(nn.Module):
+    """Deformable convolution v1/v2 via bilinear gather (TPU-native DCN).
+
+    Replaces torchvision.ops.DeformConv2d (reference layers.py:9-38): a
+    zero-init offset conv predicts per-output-pixel sampling offsets for the
+    k*k taps; v2 adds a sigmoid modulation mask. Sampling is expressed as a
+    dense bilinear gather which XLA vectorizes; the conv itself is an MXU
+    matmul over the gathered taps.
+    """
+
+    out_channels: int
+    kernel_size: int = 3
+    version: int = 2
+    act: Callable = nn.relu
+    use_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        n, h, w, c = x.shape
+        k = self.kernel_size
+        # offset conv, zero-init like the reference (layers.py:34-37)
+        offsets = nn.Conv(
+            2 * k * k, (k, k), padding="SAME",
+            kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
+        )(x)                                            # (N, H, W, 2*k*k): (dy, dx) pairs
+        if self.version == 2:
+            mask = nn.Conv(
+                k * k, (k, k), padding="SAME",
+                kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
+            )(x)
+            mask = jax.nn.sigmoid(mask)                 # (N, H, W, k*k)
+        else:
+            mask = None
+
+        # base sampling grid: output pixel (i, j), tap (a, b)
+        ys = jnp.arange(h, dtype=jnp.float32)[:, None, None]        # (H, 1, 1)
+        xs = jnp.arange(w, dtype=jnp.float32)[None, :, None]        # (1, W, 1)
+        half = (k - 1) // 2
+        tap = jnp.arange(k, dtype=jnp.float32) - half               # (k,)
+        tap_y = jnp.repeat(tap, k)                                  # (k*k,)
+        tap_x = jnp.tile(tap, k)
+
+        off = offsets.reshape(n, h, w, k * k, 2)
+        sample_y = ys[None] + tap_y + off[..., 0]                   # (N, H, W, k*k)
+        sample_x = xs[None] + tap_x + off[..., 1]
+
+        # bilinear sample with zero padding outside
+        def bilinear(img, sy, sx):
+            y0 = jnp.floor(sy)
+            x0 = jnp.floor(sx)
+            wy = sy - y0
+            wx = sx - x0
+            out = 0.0
+            for dy, wgt_y in ((0, 1 - wy), (1, wy)):
+                for dx, wgt_x in ((0, 1 - wx), (1, wx)):
+                    yy = y0.astype(jnp.int32) + dy
+                    xx = x0.astype(jnp.int32) + dx
+                    valid = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+                    yy = jnp.clip(yy, 0, h - 1)
+                    xx = jnp.clip(xx, 0, w - 1)
+                    vals = img[yy, xx]                              # (H, W, k*k, C)
+                    out = out + vals * (wgt_y * wgt_x * valid)[..., None]
+            return out
+
+        sampled = jax.vmap(bilinear)(x, sample_y, sample_x)         # (N, H, W, k*k, C)
+        if mask is not None:
+            sampled = sampled * mask[..., None]
+
+        # conv over the gathered taps == one big matmul on the MXU
+        sampled = sampled.reshape(n, h, w, k * k * c)
+        kernel = self.param(
+            "kernel", nn.initializers.he_normal(), (k * k * c, self.out_channels)
+        )
+        y = jnp.einsum("nhwi,io->nhwo", sampled, kernel,
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+        if self.use_norm:
+            y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(y)
+        else:
+            y = y + self.param("bias", nn.initializers.zeros, (self.out_channels,))
+        if self.act is not None:
+            y = self.act(y)
+        return y
+
+
+CONV_BLOCKS = {
+    "normal": ConvNormAct,
+    "separable": SeparableConvNormAct,
+    "dcn": DeformableConvBlock,
+    "deformable": DeformableConvBlock,
+}
+
+
+def _bilinear_kernel(k: int, channels: int) -> np.ndarray:
+    """Bilinear-interpolation init for transpose conv (reference layers.py:103-116)."""
+    factor = (k + 1) // 2
+    center = factor - 1 if k % 2 == 1 else factor - 0.5
+    og = np.ogrid[:k, :k]
+    filt = (1 - abs(og[0] - center) / factor) * (1 - abs(og[1] - center) / factor)
+    kernel = np.zeros((k, k, channels, channels), dtype=np.float32)
+    for i in range(channels):
+        kernel[:, :, i, i] = filt
+    return kernel
+
+
+class Upsample(nn.Module):
+    """x2 upsample: conv_transpose (bilinear init) / nearest / bilinear.
+
+    Reference models/layers.py:81-101.
+    """
+
+    channels: int
+    method: str = "nearest"  # conv_transpose | nearest | bilinear
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.method == "conv_transpose":
+            init = lambda key, shape, dtype=jnp.float32: jnp.asarray(
+                _bilinear_kernel(shape[0], shape[2]), dtype
+            )
+            x = nn.ConvTranspose(
+                self.channels, (4, 4), strides=(2, 2), padding="SAME",
+                use_bias=False, kernel_init=init,
+            )(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
+            return nn.relu(x)
+        n, h, w, c = x.shape
+        method = "nearest" if self.method == "nearest" else "bilinear"
+        return jax.image.resize(x, (n, h * 2, w * 2, c), method=method)
+
+
+class Downsample(nn.Module):
+    """x2 downsample: max / avg / conv stride 2 (reference layers.py:118-136)."""
+
+    channels: Optional[int] = None
+    method: str = "max"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.method == "conv":
+            return ConvNormAct(self.channels or x.shape[-1], 3, strides=2)(x, train)
+        reducer = jax.lax.max if self.method == "max" else jax.lax.add
+        init = -jnp.inf if self.method == "max" else 0.0
+        y = jax.lax.reduce_window(
+            x, init, reducer, (1, 2, 2, 1), (1, 2, 2, 1), "SAME"
+        )
+        if self.method == "avg":
+            y = y / 4.0
+        return y
+
+
+class Fuse(nn.Module):
+    """BiFPN/IDA fusion node (reference models/layers.py:138-177).
+
+    Projects each input to `out_channels` with 1x1 convs, resizes the last
+    input to the first's spatial size, combines by (optionally softmax-free
+    weighted) sum, then applies an output conv.
+    """
+
+    out_channels: int
+    weighted: bool = False
+    upsample: str = "nearest"
+    conv_type: str = "normal"
+    eps: float = 1e-4
+
+    @nn.compact
+    def __call__(self, inputs: Sequence[jnp.ndarray], train: bool = False):
+        target_hw = inputs[0].shape[1:3]
+        projected = []
+        for i, f in enumerate(inputs):
+            f = ConvNormAct(self.out_channels, 1, act=None)(f, train)
+            if f.shape[1:3] != target_hw:
+                n, _, _, c = f.shape
+                if f.shape[1] < target_hw[0]:
+                    method = "nearest" if self.upsample == "nearest" else "bilinear"
+                    f = jax.image.resize(f, (n, *target_hw, c), method=method)
+                else:
+                    f = jax.lax.reduce_window(
+                        f, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "SAME"
+                    )
+            projected.append(f)
+
+        if self.weighted:
+            # softmax-free: w_i = relu(w_i) / (sum relu(w) + eps)  [BiFPN paper]
+            w = self.param("fuse_weights", nn.initializers.ones, (len(projected),))
+            w = nn.relu(w)
+            w = w / (jnp.sum(w) + self.eps)
+            out = sum(wi * f for wi, f in zip(w, projected))
+        else:
+            out = sum(projected)
+
+        block = CONV_BLOCKS[self.conv_type]
+        return block(self.out_channels, 3)(out, train)
+
+
+class SPP(nn.Module):
+    """Spatial pyramid pooling extra block (the meta.py:43 extra_block slot)."""
+
+    out_channels: int
+    pool_sizes: Sequence[int] = (5, 9, 13)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        x = ConvNormAct(c // 2, 1)(x, train)
+        pools = [x]
+        for k in self.pool_sizes:
+            pad = k // 2
+            pools.append(
+                jax.lax.reduce_window(
+                    x, -jnp.inf, jax.lax.max,
+                    (1, k, k, 1), (1, 1, 1, 1),
+                    ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+                )
+            )
+        x = jnp.concatenate(pools, axis=-1)
+        return ConvNormAct(self.out_channels, 1)(x, train)

@@ -1,0 +1,144 @@
+"""Model contracts: output shapes, stride attributes, heatmap range, loss
+finiteness — the reference's grid-parametrized intent (tests/test_models.py,
+tests/test_backbones.py, tests/test_necks.py) on a JAX/flax stack."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from centernet_lightning_tpu.models import (
+    CenterNet,
+    build_backbone,
+    build_neck,
+)
+
+BACKBONE_NAMES = ["resnet18", "resnet34", "mobilenet_v2"]
+NECK_NAMES = ["SimpleNeck", "FPN", "BiFPN", "IDA"]
+IMG = 128  # small for test speed
+
+
+@pytest.fixture(scope="module")
+def key():
+    return jax.random.PRNGKey(0)
+
+
+@pytest.mark.parametrize("name", BACKBONE_NAMES + ["vovnet39", "cspdarknet53"])
+def test_backbone_pyramid_shapes(key, name):
+    bb = build_backbone(name)
+    assert bb.stride == 32
+    x = jnp.zeros((1, IMG, IMG, 3))
+    variables = bb.init(key, x, train=False)
+    feats = bb.apply(variables, x, train=False)
+    assert len(feats) == 4
+    assert len(bb.out_channels) == 4
+    for i, (f, c) in enumerate(zip(feats, bb.out_channels)):
+        s = 4 * (2 ** i)
+        assert f.shape == (1, IMG // s, IMG // s, c), (name, i, f.shape)
+
+
+@pytest.mark.parametrize("neck_name", NECK_NAMES)
+def test_neck_output_shapes(key, neck_name):
+    in_channels = [64, 128, 256, 512]
+    neck = build_neck(neck_name, in_channels)
+    feats = [
+        jnp.zeros((1, IMG // s, IMG // s, c))
+        for s, c in zip([4, 8, 16, 32], in_channels)
+    ]
+    variables = neck.init(key, feats, train=False)
+    out = neck.apply(variables, feats, train=False)
+    assert neck.stride == 8
+    assert out.shape == (1, IMG // 4, IMG // 4, neck.out_channels)
+
+
+def test_simple_neck_contract():
+    neck = build_neck("simple", [64, 128, 256, 512], upsample_channels=[256, 128, 64])
+    assert neck.out_channels == 64
+    assert neck.stride == 8  # 2^3 (reference tests/test_necks.py:24-28)
+
+
+@pytest.mark.parametrize("backbone", BACKBONE_NAMES)
+def test_centernet_forward_shapes(key, backbone):
+    task = CenterNet(num_classes=7, backbone=backbone, neck="FPN",
+                     neck_config={"out_channels": 64},
+                     head_config={"width": 32, "depth": 1})
+    assert task.stride == 4
+    variables = task.init(key, image_size=(IMG, IMG))
+    out, _ = task.apply(variables, jnp.zeros((1, IMG, IMG, 3)), train=True)
+    assert out["heatmap"].shape == (1, IMG // 4, IMG // 4, 7)
+    assert out["box_2d"].shape == (1, IMG // 4, IMG // 4, 4)
+    # focal prior: sigmoid(init_bias) ~= heatmap_prior at init
+    probs = jax.nn.sigmoid(out["heatmap"])
+    assert 0.001 < float(probs.mean()) < 0.1
+
+
+def test_centernet_loss_finite_and_jittable(key, rng):
+    task = CenterNet(num_classes=3, backbone="resnet18", neck="FPN",
+                     neck_config={"out_channels": 64},
+                     head_config={"width": 32, "depth": 1},
+                     box_loss="GIoULoss", box_multiplier=16.0)
+    variables = task.init(key, image_size=(IMG, IMG))
+
+    n, k = 2, 8
+    boxes = np.zeros((n, k, 4), np.float32)
+    labels = np.zeros((n, k), np.int32)
+    mask = np.zeros((n, k), np.float32)
+    boxes[0, :3] = [[10, 10, 40, 30], [60, 50, 30, 30], [5, 90, 20, 25]]
+    labels[0, :3] = [0, 1, 2]
+    mask[0, :3] = 1
+    boxes[1, :1] = [[30, 30, 50, 60]]
+    labels[1, :1] = [1]
+    mask[1, :1] = 1
+    targets = {k2: jnp.asarray(v) for k2, v in
+               {"boxes": boxes, "labels": labels, "mask": mask}.items()}
+
+    @jax.jit
+    def loss_fn(variables, images, targets):
+        out, _ = task.apply(variables, images, train=True)
+        return task.compute_loss(out, targets)
+
+    images = jnp.asarray(rng.normal(size=(n, IMG, IMG, 3)).astype(np.float32))
+    losses = loss_fn(variables, images, targets)
+    assert set(losses) == {"heatmap", "box_2d", "total"}
+    for v in losses.values():
+        assert np.isfinite(float(v))
+    assert float(losses["total"]) > 0
+
+
+def test_centernet_loss_grads_flow(key, rng):
+    task = CenterNet(num_classes=2, backbone="resnet18", neck="SimpleNeck",
+                     neck_config={"upsample_channels": [64, 32, 16]},
+                     head_config={"width": 16, "depth": 1})
+    variables = task.init(key, image_size=(64, 64))
+    params = variables["params"]
+    other = {k: v for k, v in variables.items() if k != "params"}
+
+    targets = {
+        "boxes": jnp.asarray([[[8.0, 8.0, 20.0, 20.0]]]),
+        "labels": jnp.asarray([[0]], dtype=jnp.int32),
+        "mask": jnp.asarray([[1.0]]),
+    }
+    images = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+
+    def loss_fn(p):
+        out, _ = task.apply({"params": p, **other}, images, train=True)
+        return task.compute_loss(out, targets)["total"]
+
+    grads = jax.grad(loss_fn)(params)
+    norms = [float(jnp.abs(g).max()) for g in jax.tree_util.tree_leaves(grads)]
+    assert all(np.isfinite(x) for x in norms)
+    assert max(norms) > 0  # gradients actually flow
+
+
+def test_reid_head_and_classifier(key):
+    task = CenterNet(num_classes=1, backbone="resnet18", neck="FPN",
+                     neck_config={"out_channels": 64},
+                     head_config={"width": 32, "depth": 1},
+                     reid_config={"emb_dim": 16, "max_track_ids": 50})
+    variables = task.init(key, image_size=(64, 64))
+    out, _ = task.apply(variables, jnp.zeros((1, 64, 64, 3)), train=True)
+    assert out["reid"].shape == (1, 16, 16, 16)
+    logits, _ = task.model.apply(
+        variables, jnp.zeros((4, 16)), train=True,
+        method=task.model.classify_embeddings, mutable=["batch_stats"],
+    )
+    assert logits.shape == (4, 50)

@@ -1,0 +1,41 @@
+"""Pallas decode kernel parity vs the plain-XLA reference implementation.
+
+Runs in interpreter mode on CPU (tests force JAX_PLATFORMS=cpu); the same
+kernel compiles on real TPU via bench_decode.py.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from centernet_lightning_tpu.ops import decode as D
+from centernet_lightning_tpu.ops import pallas_decode as P
+
+
+@pytest.mark.parametrize("shape", [(2, 16, 24, 5), (1, 32, 32, 32), (1, 8, 8, 33)])
+def test_peak_class_scores_parity(rng, shape):
+    heatmap = rng.uniform(0, 1, size=shape).astype(np.float32)
+    ref_scores, ref_labels = D.peak_class_scores(jnp.asarray(heatmap))
+    got_scores, got_labels = P.peak_class_scores_pallas(
+        jnp.asarray(heatmap), interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got_scores), np.asarray(ref_scores), atol=0)
+    np.testing.assert_array_equal(np.asarray(got_labels), np.asarray(ref_labels))
+
+
+def test_full_decode_parity(rng):
+    heatmap = rng.uniform(0, 1, size=(2, 16, 16, 6)).astype(np.float32)
+    box = rng.normal(size=(2, 16, 16, 4)).astype(np.float32)
+    ref = D.decode_detections(
+        jnp.asarray(heatmap), jnp.asarray(box),
+        num_detections=20, box_log=True, box_multiplier=16.0, stride=4,
+    )
+    got = P.decode_detections_pallas(
+        jnp.asarray(heatmap), jnp.asarray(box),
+        num_detections=20, box_log=True, box_multiplier=16.0, stride=4,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got["labels"]), np.asarray(ref["labels"]))
+    np.testing.assert_allclose(np.asarray(got["scores"]), np.asarray(ref["scores"]))
+    np.testing.assert_allclose(
+        np.asarray(got["boxes"]), np.asarray(ref["boxes"]), rtol=1e-6
+    )
