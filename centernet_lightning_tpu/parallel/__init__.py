@@ -1,0 +1,9 @@
+from .mesh import (
+    all_gather_host,
+    batch_sharding,
+    create_mesh,
+    process_local_batch_size,
+    replicated,
+    shard_batch,
+    shard_params,
+)

@@ -1,0 +1,92 @@
+"""Device mesh + sharding for data-parallel (and beyond) training.
+
+TPU-native replacement for the reference's Lightning DDP/NCCL stack
+(reference configs/centernet.yaml:88-93, eval/coco.py:10-18): one
+jax.sharding.Mesh, batch sharded over the 'data' axis, params replicated.
+GSPMD inserts the gradient mean (psum over ICI) automatically; BatchNorm
+statistics are computed over the global batch under jit, which IS SyncBN.
+
+A 'model' axis is provisioned for optional tensor-parallel sharding of wide
+head/neck convs (out-feature dim). For the ≤30M-param CNNs in scope this is
+off by default (SURVEY.md §2c documents TP/PP as out of scope) but the
+plumbing lets dryrun_multichip exercise a real 2D mesh.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "create_mesh",
+    "batch_sharding",
+    "replicated",
+    "shard_batch",
+    "shard_params",
+    "process_local_batch_size",
+    "all_gather_host",
+]
+
+
+def create_mesh(
+    n_data: Optional[int] = None, n_model: int = 1, devices=None
+) -> Mesh:
+    """(data, model) mesh. Defaults to all devices on the data axis."""
+    devices = devices if devices is not None else jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    arr = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) dim sharded over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Device-put a host batch with the batch dim split over 'data'."""
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch
+    )
+
+
+def shard_params(params, mesh: Mesh, model_parallel: bool = False):
+    """Replicate params (optionally: shard the widest head convs over
+    'model' — cheap TP for very wide heads)."""
+    if not model_parallel:
+        return jax.device_put(params, replicated(mesh))
+
+    def spec_for(path, x):
+        # shard final out-feature dim of large conv kernels over 'model'
+        if x.ndim == 4 and x.shape[-1] % mesh.shape["model"] == 0 and x.shape[-1] >= 256:
+            return NamedSharding(mesh, P(None, None, None, "model"))
+        return replicated(mesh)
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, x: jax.device_put(x, spec_for(path, x)), params
+    )
+
+
+def process_local_batch_size(global_batch_size: int) -> int:
+    """Per-process slice of the global batch in multihost runs."""
+    return global_batch_size // jax.process_count()
+
+
+def all_gather_host(tree):
+    """Union per-process arrays on host — the JAX-native equivalent of the
+    reference's dist.all_gather_object metric merge (eval/coco.py:10-18).
+    Fixed-shape arrays only (the padded-batch contract guarantees this).
+    """
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.process_allgather(tree)

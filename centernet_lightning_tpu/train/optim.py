@@ -1,0 +1,120 @@
+"""Optimizer + LR schedule factory (optax).
+
+Reproduces the reference's optimization surface
+(reference models/meta.py:13-18, 133-166):
+ - optimizers: SGD (momentum .9), Adam, AdamW, RMSprop (momentum .9)
+ - norm layers get `norm_weight_decay` (default 0), everything else
+   `weight_decay` (torchvision recipe, meta.py:136-149)
+ - LinearLR warmup (start factor `warmup_decay` over `warmup_epochs`)
+   chained into CosineAnnealingLR over the remaining epochs (meta.py:154-161)
+ - optional global-norm gradient clipping (the Gen-A `gradient_clip_val`,
+   configs/base_resnet34.yaml:94)
+
+Schedules are per-step functions of the global step (steps_per_epoch maps
+the reference's per-epoch schedule onto steps).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional
+
+import optax
+
+__all__ = ["make_optimizer", "make_lr_schedule"]
+
+
+def _is_norm_param(path) -> bool:
+    """True for BatchNorm/LayerNorm/GroupNorm parameters, identified by the
+    owning module's name in the param tree path."""
+    for p in path:
+        name = getattr(p, "key", str(p)).lower()
+        if "batchnorm" in name or "layernorm" in name or "groupnorm" in name \
+           or name.endswith("_bn") or name == "bn":
+            return True
+    return False
+
+
+def make_lr_schedule(
+    lr: float,
+    max_epochs: int,
+    steps_per_epoch: int,
+    warmup_epochs: int = 5,
+    warmup_decay: float = 0.01,
+):
+    """LinearLR(start_factor) -> CosineAnnealingLR(T_max=max-warmup), per step."""
+    warmup_steps = warmup_epochs * steps_per_epoch
+    cosine_steps = max(1, (max_epochs - warmup_epochs) * steps_per_epoch)
+
+    def schedule(step):
+        import jax.numpy as jnp
+
+        step = jnp.asarray(step, jnp.float32)
+        # torch LinearLR multiplies by start + (1-start) * t/total_iters
+        warm_frac = jnp.clip(step / max(1, warmup_steps), 0.0, 1.0) if warmup_steps else 1.0
+        warm = lr * (warmup_decay + (1.0 - warmup_decay) * warm_frac)
+        t = jnp.clip((step - warmup_steps) / cosine_steps, 0.0, 1.0)
+        cos = lr * 0.5 * (1.0 + jnp.cos(math.pi * t))
+        return jnp.where(step < warmup_steps, warm, cos) if warmup_steps else cos
+
+    return schedule
+
+
+def make_optimizer(
+    params,
+    optimizer: str = "SGD",
+    lr: float = 0.05,
+    weight_decay: float = 2e-5,
+    norm_weight_decay: Optional[float] = 0.0,
+    warmup_epochs: int = 5,
+    warmup_decay: float = 0.01,
+    max_epochs: int = 100,
+    steps_per_epoch: int = 1000,
+    gradient_clip_val: Optional[float] = None,
+    **_ignored: Dict[str, Any],
+) -> optax.GradientTransformation:
+    """Build the full optax chain for a param tree.
+
+    `params` is used only to derive the weight-decay mask.
+    """
+    import jax
+
+    schedule = make_lr_schedule(
+        lr, max_epochs, steps_per_epoch, warmup_epochs, warmup_decay
+    )
+
+    # decoupled-wd mask: True where full weight_decay applies
+    if norm_weight_decay is not None:
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        del flat  # only to validate params is a tree
+
+        def wd_mask(tree):
+            return jax.tree_util.tree_map_with_path(
+                lambda path, _: not _is_norm_param(path), tree
+            )
+    else:
+        wd_mask = None
+
+    name = optimizer.lower()
+    if name == "sgd":
+        tx = optax.chain(
+            optax.add_decayed_weights(weight_decay, mask=wd_mask),
+            optax.sgd(schedule, momentum=0.9),
+        )
+    elif name == "adam":
+        tx = optax.chain(
+            optax.add_decayed_weights(weight_decay, mask=wd_mask),
+            optax.adam(schedule),
+        )
+    elif name == "adamw":
+        tx = optax.adamw(schedule, weight_decay=weight_decay, mask=wd_mask)
+    elif name == "rmsprop":
+        tx = optax.chain(
+            optax.add_decayed_weights(weight_decay, mask=wd_mask),
+            optax.rmsprop(schedule, momentum=0.9),
+        )
+    else:
+        raise KeyError(f"unknown optimizer '{optimizer}'")
+
+    if gradient_clip_val:
+        tx = optax.chain(optax.clip_by_global_norm(gradient_clip_val), tx)
+    return tx

@@ -1,0 +1,103 @@
+"""Train state + jitted step factories.
+
+The reference's per-step logic lives in LightningModule hooks
+(meta.py:115-125: forward -> compute_loss -> log -> Lightning handles
+backward/clip/step). Here the whole step — forward, target rendering, loss,
+backward, optimizer update, BatchNorm stat update — is ONE jitted function
+with donated state, so XLA fuses it end-to-end and GSPMD shards it over the
+mesh. Losses come back as scalars for logging.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+__all__ = ["TrainState", "create_train_state", "make_train_step", "make_eval_step"]
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads, new_batch_stats):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            batch_stats=new_batch_stats,
+            opt_state=new_opt_state,
+        )
+
+
+def create_train_state(task, tx, rng=None, image_size=(512, 512)) -> TrainState:
+    variables = task.init(rng or jax.random.PRNGKey(0), image_size=image_size)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        tx=tx,
+    )
+
+
+def make_train_step(
+    task,
+    extra_loss_fn: Optional[Callable] = None,
+    donate: bool = True,
+) -> Callable:
+    """Build the jitted train step.
+
+    extra_loss_fn(task, variables_out, outputs, batch, params) -> (loss, dict)
+    lets FairMOT add the ReID objective without forking the step.
+    """
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            outputs, mutated = task.model.apply(
+                variables, batch["image"], train=True, mutable=["batch_stats"]
+            )
+            losses = task.compute_loss(outputs, batch)
+            total = losses["total"]
+            if extra_loss_fn is not None:
+                extra_total, extra_logs = extra_loss_fn(
+                    task, variables, outputs, batch, params
+                )
+                total = total + extra_total
+                losses = {**losses, **extra_logs, "total": total}
+            return total, (losses, mutated["batch_stats"])
+
+        grads, (losses, new_bs) = jax.grad(loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads, new_bs)
+        return new_state, losses
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(task, num_detections: Optional[int] = None) -> Callable:
+    """Jitted forward + loss + decode for validation
+    (reference centernet.py:202-212)."""
+
+    @partial(jax.jit, static_argnums=())
+    def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        outputs = task.model.apply(variables, batch["image"], train=False)
+        detections = task.decode_detections(
+            jax.nn.sigmoid(outputs["heatmap"]),
+            outputs["box_2d"],
+            reid=outputs.get("reid"),
+            num_detections=num_detections,
+        )
+        return detections
+
+    return eval_step
