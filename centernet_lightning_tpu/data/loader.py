@@ -1,0 +1,83 @@
+"""Threaded prefetching data loader.
+
+Replaces torch.utils.data.DataLoader (reference centernet.py:224-227).
+Decoding + augmentation are numpy/cv2 (GIL-released C code), so a thread
+pool gives real parallelism without process-fork overhead; a bounded
+prefetch queue keeps the host pipeline ahead of the device.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Iterator, Optional
+
+import numpy as np
+
+__all__ = ["DataLoader"]
+
+
+class DataLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 32,
+        shuffle: bool = False,
+        collate_fn: Optional[Callable] = None,
+        num_workers: int = 4,
+        drop_last: bool = False,
+        seed: int = 0,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.collate_fn = collate_fn or (lambda items: items)
+        self.num_workers = max(0, num_workers)
+        self.drop_last = drop_last
+        self.seed = seed
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batches(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(order)
+        for start in range(0, len(order), self.batch_size):
+            idxs = order[start : start + self.batch_size]
+            if self.drop_last and len(idxs) < self.batch_size:
+                return
+            yield idxs
+
+    def __iter__(self) -> Iterator:
+        self._epoch += 1
+        if self.num_workers == 0:
+            for idxs in self._batches():
+                yield self.collate_fn([self.dataset[int(i)] for i in idxs])
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for idxs in self._batches():
+                    items = list(pool.map(self.dataset.__getitem__, map(int, idxs)))
+                    q.put(self.collate_fn(items))
+            q.put(sentinel)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            batch = q.get()
+            if batch is sentinel:
+                break
+            yield batch
+        thread.join()

@@ -1,0 +1,366 @@
+"""Host-side image/box augmentation pipeline (numpy + cv2).
+
+Replaces the reference's albumentations dependency (not available here;
+reference datasets/coco.py:103-113 resolves transforms by name from
+A.__dict__). Transform names and init args mirror albumentations so the
+reference YAML configs work unchanged (configs/centernet.yaml:39-85).
+
+Samples are dicts: {"image": HWC uint8 (float32 after Normalize),
+"bboxes": (K, 4) float32 xywh in pixels, "labels": (K,) int64,
+optionally "ids": (K,) int64}. Box filtering after geometric ops follows the
+reference: clip to image, drop boxes with a side <= 1 px or area < min_area
+(reference datasets/coco.py:18-25, 60-67; bbox_params min_area=1,
+coco.py:111).
+"""
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Sequence
+
+import cv2
+import numpy as np
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+__all__ = [
+    "Compose", "Resize", "SmallestMaxSize", "LongestMaxSize", "RandomCrop",
+    "CenterCrop", "RandomResizedCrop", "PadIfNeeded", "HorizontalFlip",
+    "VerticalFlip", "ColorJitter", "Normalize", "TrivialAugmentWide",
+    "Mosaic", "TRANSFORMS", "build_transforms",
+]
+
+
+def _resize(sample, new_h, new_w, interpolation=cv2.INTER_LINEAR):
+    img = sample["image"]
+    h, w = img.shape[:2]
+    if (h, w) == (new_h, new_w):
+        return sample
+    sample["image"] = cv2.resize(img, (new_w, new_h), interpolation=interpolation)
+    if len(sample.get("bboxes", ())):
+        s = np.array([new_w / w, new_h / h, new_w / w, new_h / h], np.float32)
+        sample["bboxes"] = sample["bboxes"] * s
+    return sample
+
+
+def _filter_boxes(sample, min_area: float = 1.0, min_side: float = 1.0):
+    boxes = sample.get("bboxes")
+    if boxes is None or len(boxes) == 0:
+        return sample
+    h, w = sample["image"].shape[:2]
+    x1 = np.clip(boxes[:, 0], 0, w)
+    y1 = np.clip(boxes[:, 1], 0, h)
+    x2 = np.clip(boxes[:, 0] + boxes[:, 2], 0, w)
+    y2 = np.clip(boxes[:, 1] + boxes[:, 3], 0, h)
+    clipped = np.stack([x1, y1, x2 - x1, y2 - y1], axis=-1)
+    keep = (
+        (clipped[:, 2] > min_side)
+        & (clipped[:, 3] > min_side)
+        & (clipped[:, 2] * clipped[:, 3] >= min_area)
+    )
+    sample["bboxes"] = clipped[keep]
+    for key in ("labels", "ids"):
+        if key in sample:
+            sample[key] = np.asarray(sample[key])[keep]
+    return sample
+
+
+class Transform:
+    p: float = 1.0
+
+    def apply(self, sample: Dict, rng: np.random.Generator) -> Dict:
+        raise NotImplementedError
+
+    def __call__(self, sample: Dict, rng: np.random.Generator) -> Dict:
+        if self.p >= 1.0 or rng.uniform() < self.p:
+            return self.apply(sample, rng)
+        return sample
+
+
+class Resize(Transform):
+    def __init__(self, height: int, width: int, p: float = 1.0):
+        self.height, self.width, self.p = height, width, p
+
+    def apply(self, sample, rng):
+        return _resize(sample, self.height, self.width)
+
+
+class SmallestMaxSize(Transform):
+    """Scale so the SHORTER side == max_size (albumentations semantics)."""
+
+    def __init__(self, max_size: int, p: float = 1.0):
+        self.max_size, self.p = max_size, p
+
+    def apply(self, sample, rng):
+        h, w = sample["image"].shape[:2]
+        scale = self.max_size / min(h, w)
+        return _resize(sample, int(round(h * scale)), int(round(w * scale)))
+
+
+class LongestMaxSize(Transform):
+    def __init__(self, max_size: int, p: float = 1.0):
+        self.max_size, self.p = max_size, p
+
+    def apply(self, sample, rng):
+        h, w = sample["image"].shape[:2]
+        scale = self.max_size / max(h, w)
+        return _resize(sample, int(round(h * scale)), int(round(w * scale)))
+
+
+def _crop(sample, top, left, height, width):
+    img = sample["image"]
+    sample["image"] = img[top : top + height, left : left + width]
+    if len(sample.get("bboxes", ())):
+        sample["bboxes"] = sample["bboxes"] - np.array([left, top, 0, 0], np.float32)
+    return _filter_boxes(sample)
+
+
+class RandomCrop(Transform):
+    def __init__(self, height: int, width: int, p: float = 1.0):
+        self.height, self.width, self.p = height, width, p
+
+    def apply(self, sample, rng):
+        h, w = sample["image"].shape[:2]
+        if h < self.height or w < self.width:
+            sample = _resize(sample, max(h, self.height), max(w, self.width))
+            h, w = sample["image"].shape[:2]
+        top = int(rng.integers(0, h - self.height + 1))
+        left = int(rng.integers(0, w - self.width + 1))
+        return _crop(sample, top, left, self.height, self.width)
+
+
+class CenterCrop(Transform):
+    def __init__(self, height: int, width: int, p: float = 1.0):
+        self.height, self.width, self.p = height, width, p
+
+    def apply(self, sample, rng):
+        h, w = sample["image"].shape[:2]
+        return _crop(sample, max(0, (h - self.height) // 2),
+                     max(0, (w - self.width) // 2), self.height, self.width)
+
+
+class RandomResizedCrop(Transform):
+    def __init__(self, height: int, width: int,
+                 scale: Sequence[float] = (0.08, 1.0),
+                 ratio: Sequence[float] = (3 / 4, 4 / 3), p: float = 1.0):
+        self.height, self.width = height, width
+        self.scale, self.ratio, self.p = scale, ratio, p
+
+    def apply(self, sample, rng):
+        h, w = sample["image"].shape[:2]
+        area = h * w
+        for _ in range(10):
+            target_area = area * rng.uniform(*self.scale)
+            log_ratio = (math.log(self.ratio[0]), math.log(self.ratio[1]))
+            aspect = math.exp(rng.uniform(*log_ratio))
+            cw = int(round(math.sqrt(target_area * aspect)))
+            ch = int(round(math.sqrt(target_area / aspect)))
+            if 0 < cw <= w and 0 < ch <= h:
+                top = int(rng.integers(0, h - ch + 1))
+                left = int(rng.integers(0, w - cw + 1))
+                sample = _crop(sample, top, left, ch, cw)
+                return _resize(sample, self.height, self.width)
+        # fallback: center crop of the valid aspect
+        sample = CenterCrop(min(h, w), min(h, w)).apply(sample, rng)
+        return _resize(sample, self.height, self.width)
+
+
+class PadIfNeeded(Transform):
+    """Bottom/right zero padding to minimums and/or divisors
+    (configs/centernet.yaml:76-81 uses divisor 32 for val)."""
+
+    def __init__(self, min_height: Optional[int] = None,
+                 min_width: Optional[int] = None,
+                 pad_height_divisor: Optional[int] = None,
+                 pad_width_divisor: Optional[int] = None, p: float = 1.0):
+        self.min_height, self.min_width = min_height, min_width
+        self.pad_height_divisor = pad_height_divisor
+        self.pad_width_divisor = pad_width_divisor
+        self.p = p
+
+    def apply(self, sample, rng):
+        h, w = sample["image"].shape[:2]
+        th = max(self.min_height or 0, h)
+        tw = max(self.min_width or 0, w)
+        if self.pad_height_divisor:
+            th = int(math.ceil(th / self.pad_height_divisor) * self.pad_height_divisor)
+        if self.pad_width_divisor:
+            tw = int(math.ceil(tw / self.pad_width_divisor) * self.pad_width_divisor)
+        if (th, tw) == (h, w):
+            return sample
+        pad = [(0, th - h), (0, tw - w)] + [(0, 0)] * (sample["image"].ndim - 2)
+        sample["image"] = np.pad(sample["image"], pad)
+        return sample
+
+
+class HorizontalFlip(Transform):
+    def __init__(self, p: float = 0.5):
+        self.p = p
+
+    def apply(self, sample, rng):
+        img = sample["image"]
+        w = img.shape[1]
+        sample["image"] = np.ascontiguousarray(img[:, ::-1])
+        boxes = sample.get("bboxes")
+        if boxes is not None and len(boxes):
+            boxes = boxes.copy()
+            boxes[:, 0] = w - boxes[:, 0] - boxes[:, 2]
+            sample["bboxes"] = boxes
+        return sample
+
+
+class VerticalFlip(Transform):
+    def __init__(self, p: float = 0.5):
+        self.p = p
+
+    def apply(self, sample, rng):
+        img = sample["image"]
+        h = img.shape[0]
+        sample["image"] = np.ascontiguousarray(img[::-1])
+        boxes = sample.get("bboxes")
+        if boxes is not None and len(boxes):
+            boxes = boxes.copy()
+            boxes[:, 1] = h - boxes[:, 1] - boxes[:, 3]
+            sample["bboxes"] = boxes
+        return sample
+
+
+class ColorJitter(Transform):
+    def __init__(self, brightness: float = 0.2, contrast: float = 0.2,
+                 saturation: float = 0.2, hue: float = 0.0, p: float = 0.5):
+        self.brightness, self.contrast = brightness, contrast
+        self.saturation, self.hue, self.p = saturation, hue, p
+
+    def apply(self, sample, rng):
+        img = sample["image"].astype(np.float32)
+        if self.brightness:
+            img = img * rng.uniform(1 - self.brightness, 1 + self.brightness)
+        if self.contrast:
+            mean = img.mean()
+            img = (img - mean) * rng.uniform(1 - self.contrast, 1 + self.contrast) + mean
+        if self.saturation:
+            gray = img @ np.array([0.299, 0.587, 0.114], np.float32)
+            f = rng.uniform(1 - self.saturation, 1 + self.saturation)
+            img = img * f + gray[..., None] * (1 - f)
+        if self.hue:
+            hsv = cv2.cvtColor(
+                np.clip(img, 0, 255).astype(np.uint8), cv2.COLOR_RGB2HSV
+            ).astype(np.int16)
+            hsv[..., 0] = (hsv[..., 0] + int(rng.uniform(-self.hue, self.hue) * 180)) % 180
+            img = cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB).astype(np.float32)
+        sample["image"] = np.clip(img, 0, 255).astype(np.uint8)
+        return sample
+
+
+class Normalize(Transform):
+    def __init__(self, mean: Sequence[float] = IMAGENET_MEAN,
+                 std: Sequence[float] = IMAGENET_STD, p: float = 1.0):
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+        self.p = p
+
+    def apply(self, sample, rng):
+        img = sample["image"].astype(np.float32) / 255.0
+        sample["image"] = (img - self.mean) / self.std
+        return sample
+
+
+class TrivialAugmentWide(Transform):
+    """One random color/geometry op at a random strength — the reference's
+    albumentations OneOf port (datasets/transforms.py:8-26)."""
+
+    def __init__(self, p: float = 1.0):
+        self.p = p
+
+    def apply(self, sample, rng):
+        ops = [
+            lambda s, m: ColorJitter(brightness=m, contrast=0, saturation=0).apply(s, rng),
+            lambda s, m: ColorJitter(brightness=0, contrast=m, saturation=0).apply(s, rng),
+            lambda s, m: ColorJitter(brightness=0, contrast=0, saturation=m).apply(s, rng),
+            lambda s, m: self._posterize(s, m),
+            lambda s, m: self._solarize(s, m),
+            lambda s, m: self._equalize(s, m),
+            lambda s, m: self._sharpen(s, m, rng),
+            lambda s, m: HorizontalFlip(p=1.0).apply(s, rng),
+        ]
+        op = ops[int(rng.integers(0, len(ops)))]
+        return op(sample, float(rng.uniform(0.0, 0.99)))
+
+    @staticmethod
+    def _posterize(sample, m):
+        bits = max(1, int(8 - 6 * m))
+        shift = 8 - bits
+        sample["image"] = (sample["image"] >> shift) << shift
+        return sample
+
+    @staticmethod
+    def _solarize(sample, m):
+        thresh = int(255 * (1 - m))
+        img = sample["image"]
+        sample["image"] = np.where(img >= thresh, 255 - img, img)
+        return sample
+
+    @staticmethod
+    def _equalize(sample, m):
+        img = sample["image"]
+        out = np.stack([cv2.equalizeHist(img[..., c]) for c in range(3)], axis=-1)
+        sample["image"] = out
+        return sample
+
+    @staticmethod
+    def _sharpen(sample, m, rng):
+        img = sample["image"].astype(np.float32)
+        blur = cv2.GaussianBlur(img, (3, 3), 0)
+        sample["image"] = np.clip(img + m * (img - blur), 0, 255).astype(np.uint8)
+        return sample
+
+
+class Mosaic(Transform):
+    """4-image mosaic — stub matching the reference's unimplemented Mosaic
+    (datasets/transforms.py:29-34). No-op on a single sample."""
+
+    def __init__(self, p: float = 1.0, **kwargs):
+        self.p = p
+
+    def apply(self, sample, rng):
+        return sample
+
+
+class Compose:
+    def __init__(self, transforms: List[Transform], min_area: float = 1.0,
+                 seed: Optional[int] = None):
+        self.transforms = transforms
+        self.min_area = min_area
+        self.rng = np.random.default_rng(seed)
+
+    def __call__(self, sample: Dict, rng: Optional[np.random.Generator] = None) -> Dict:
+        rng = rng or self.rng
+        sample = dict(sample)
+        sample["bboxes"] = np.asarray(sample.get("bboxes", np.zeros((0, 4))), np.float32).reshape(-1, 4)
+        sample["labels"] = np.asarray(sample.get("labels", np.zeros((0,))), np.int64).reshape(-1)
+        for t in self.transforms:
+            sample = t(sample, rng)
+        return _filter_boxes(sample, min_area=self.min_area, min_side=0.0)
+
+
+TRANSFORMS = {
+    cls.__name__: cls
+    for cls in (
+        Resize, SmallestMaxSize, LongestMaxSize, RandomCrop, CenterCrop,
+        RandomResizedCrop, PadIfNeeded, HorizontalFlip, VerticalFlip,
+        ColorJitter, Normalize, TrivialAugmentWide, Mosaic,
+    )
+}
+
+
+def build_transforms(config: Optional[List[Dict]], seed: Optional[int] = None) -> Compose:
+    """[{name, init_args|params}] -> Compose. The reference's
+    parse_albumentations_transforms (coco.py:103-113) / parse_transforms
+    (builder.py:46) config surface."""
+    transforms = []
+    for item in config or []:
+        name = item["name"]
+        kwargs = item.get("init_args") or item.get("params") or {}
+        kwargs = {k: v for k, v in kwargs.items() if v is not None}
+        transforms.append(TRANSFORMS[name](**kwargs))
+    return Compose(transforms, seed=seed)

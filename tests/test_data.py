@@ -1,0 +1,254 @@
+"""Data-layer contracts on synthetic fixtures: COCO parse, VOC XML, MOT
+sequences, transforms geometry, padded collate shapes/mask."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from centernet_lightning_tpu.data import (
+    CocoDetection,
+    CollateDetection,
+    CollateTracking,
+    DataLoader,
+    DetectionForTracking,
+    MOTTrackingDataset,
+    VOCDataset,
+    build_dataloader,
+    build_dataset,
+    build_transforms,
+)
+from centernet_lightning_tpu.data.transforms import (
+    Compose,
+    HorizontalFlip,
+    Normalize,
+    RandomCrop,
+    Resize,
+    SmallestMaxSize,
+)
+
+
+# ---------------------------------------------------------------------------
+# synthetic fixtures
+# ---------------------------------------------------------------------------
+
+@pytest.fixture
+def coco_dir(tmp_path):
+    """Tiny synthetic COCO dataset: 4 images, 3 classes."""
+    import cv2
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    rng = np.random.default_rng(42)
+    images, annotations = [], []
+    ann_id = 1
+    for i in range(4):
+        h, w = int(rng.integers(80, 120)), int(rng.integers(80, 120))
+        img = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+        name = f"{i:06d}.jpg"
+        cv2.imwrite(str(img_dir / name), img)
+        images.append({"id": i + 1, "file_name": name, "width": w, "height": h})
+        for _ in range(int(rng.integers(1, 4))):
+            bw, bh = float(rng.uniform(10, 30)), float(rng.uniform(10, 30))
+            x = float(rng.uniform(0, w - bw))
+            y = float(rng.uniform(0, h - bh))
+            annotations.append({
+                "id": ann_id, "image_id": i + 1,
+                "category_id": int(rng.choice([1, 5, 9])),  # non-contiguous ids
+                "bbox": [x, y, bw, bh], "area": bw * bh, "iscrowd": 0,
+            })
+            ann_id += 1
+    ann = {
+        "images": images,
+        "annotations": annotations,
+        "categories": [{"id": 1, "name": "a"}, {"id": 5, "name": "b"},
+                       {"id": 9, "name": "c"}],
+    }
+    ann_path = tmp_path / "instances.json"
+    ann_path.write_text(json.dumps(ann))
+    return str(img_dir), str(ann_path)
+
+
+@pytest.fixture
+def voc_dir(tmp_path):
+    import cv2
+
+    (tmp_path / "JPEGImages").mkdir()
+    (tmp_path / "Annotations").mkdir()
+    (tmp_path / "ImageSets" / "Main").mkdir(parents=True)
+    names = []
+    for i in range(3):
+        name = f"img{i}"
+        names.append(name)
+        img = np.zeros((100, 120, 3), np.uint8)
+        cv2.imwrite(str(tmp_path / "JPEGImages" / f"{name}.jpg"), img)
+        xml = f"""<annotation><size><width>120</width><height>100</height><depth>3</depth></size>
+<object><name>person</name><bndbox><xmin>10</xmin><ymin>20</ymin><xmax>50</xmax><ymax>80</ymax></bndbox></object>
+<object><name>car</name><bndbox><xmin>-5</xmin><ymin>0</ymin><xmax>200</xmax><ymax>60</ymax></bndbox></object>
+</annotation>"""
+        (tmp_path / "Annotations" / f"{name}.xml").write_text(xml)
+    (tmp_path / "ImageSets" / "Main" / "train.txt").write_text("\n".join(names))
+    return str(tmp_path)
+
+
+@pytest.fixture
+def mot_dir(tmp_path):
+    import cv2
+
+    seq = tmp_path / "SEQ-01"
+    (seq / "img1").mkdir(parents=True)
+    (seq / "gt").mkdir()
+    for f in range(1, 4):
+        cv2.imwrite(str(seq / "img1" / f"{f:06d}.jpg"), np.zeros((60, 80, 3), np.uint8))
+    (seq / "seqinfo.ini").write_text(
+        "[Sequence]\nname=SEQ-01\nimDir=img1\nframeRate=30\nseqLength=3\n"
+        "imWidth=80\nimHeight=60\nimExt=.jpg\n"
+    )
+    # frame, id, x, y, w, h, conf, class, vis
+    (seq / "gt" / "gt.txt").write_text(
+        "1,1,10,10,20,20,1,1,1\n"
+        "1,2,40,20,15,25,1,1,1\n"
+        "2,1,12,11,20,20,1,1,1\n"
+        "2,3,5,5,10,10,1,2,1\n"   # class 2 -> filtered
+        "3,2,42,21,15,25,1,1,1\n"
+    )
+    return str(tmp_path)
+
+
+# ---------------------------------------------------------------------------
+# tests
+# ---------------------------------------------------------------------------
+
+def test_coco_dataset_contract(coco_dir):
+    img_dir, ann = coco_dir
+    ds = CocoDetection(img_dir, ann)
+    assert len(ds) == 4
+    assert ds.num_classes == 3
+    assert ds.label_map == {1: 0, 5: 1, 9: 2}  # contiguous mapping
+    item = ds[0]
+    assert item["image"].dtype == np.uint8 and item["image"].ndim == 3
+    assert item["bboxes"].shape[1] == 4
+    assert len(item["bboxes"]) == len(item["labels"]) >= 1
+    h, w = item["image"].shape[:2]
+    b = item["bboxes"]
+    assert (b[:, 0] >= 0).all() and (b[:, 0] + b[:, 2] <= w + 1e-5).all()
+
+
+def test_voc_dataset_clamps(voc_dir):
+    ds = VOCDataset(voc_dir, split="train")
+    item = ds[0]
+    assert len(item["labels"]) == 2
+    # second box clamped to image bounds
+    b = item["bboxes"][1]
+    assert b[0] == 0 and b[0] + b[2] <= 120
+
+
+def test_mot_dataset_sequences(mot_dir):
+    ds = MOTTrackingDataset(mot_dir)
+    assert len(ds) == 3
+    f0 = ds[0]
+    assert len(f0["ids"]) == 2           # class-2 row only in frame 2
+    f1 = ds[1]
+    assert len(f1["ids"]) == 1           # class 2 filtered
+    assert set(f0["ids"]) == {0, 1}      # 1-indexed -> 0-indexed
+
+
+def test_transforms_geometry(rng):
+    img = np.zeros((100, 200, 3), np.uint8)
+    boxes = np.array([[20, 30, 40, 20]], np.float32)
+    sample = {"image": img, "bboxes": boxes, "labels": np.array([1])}
+
+    out = Compose([Resize(50, 100)])(dict(sample))
+    np.testing.assert_allclose(out["bboxes"], [[10, 15, 20, 10]])
+
+    out = Compose([HorizontalFlip(p=1.0)])(dict(sample))
+    np.testing.assert_allclose(out["bboxes"], [[200 - 60, 30, 40, 20]])
+
+    out = Compose([SmallestMaxSize(max_size=50)])(dict(sample))
+    assert out["image"].shape[:2] == (50, 100)
+
+    out = Compose([Normalize(mean=[0.5] * 3, std=[0.5] * 3)])(dict(sample))
+    assert out["image"].dtype == np.float32
+    np.testing.assert_allclose(out["image"][0, 0], [-1, -1, -1])
+
+
+def test_random_crop_filters_boxes():
+    img = np.zeros((100, 100, 3), np.uint8)
+    boxes = np.array([[0, 0, 10, 10], [80, 80, 15, 15]], np.float32)
+    sample = {"image": img, "bboxes": boxes, "labels": np.array([0, 1])}
+    out = Compose([RandomCrop(40, 40)], seed=0)(dict(sample))
+    assert out["image"].shape[:2] == (40, 40)
+    # remaining boxes are inside the crop
+    if len(out["bboxes"]):
+        b = out["bboxes"]
+        assert (b[:, 0] >= 0).all() and (b[:, 0] + b[:, 2] <= 40 + 1e-5).all()
+
+
+def test_build_transforms_from_reference_config():
+    cfg = [
+        {"name": "SmallestMaxSize", "init_args": {"max_size": 64}},
+        {"name": "RandomCrop", "init_args": {"height": 64, "width": 64}},
+        {"name": "HorizontalFlip"},
+        {"name": "ColorJitter", "init_args": {"brightness": 0.4, "contrast": 0.4,
+                                              "saturation": 0.4}},
+        {"name": "Normalize", "init_args": {"mean": [0.5, 0.5, 0.5],
+                                            "std": [0.5, 0.5, 0.5]}},
+    ]
+    pipe = build_transforms(cfg, seed=0)
+    sample = {
+        "image": np.random.default_rng(0).integers(0, 255, (100, 150, 3)).astype(np.uint8),
+        "bboxes": np.array([[10, 10, 50, 50]], np.float32),
+        "labels": np.array([0]),
+    }
+    out = pipe(sample)
+    assert out["image"].shape == (64, 64, 3)
+    assert out["image"].dtype == np.float32
+
+
+def test_collate_padding_and_mask():
+    items = [
+        {"image": np.zeros((32, 32, 3), np.float32),
+         "bboxes": np.array([[1, 1, 5, 5], [2, 2, 6, 6]], np.float32),
+         "labels": np.array([0, 1])},
+        {"image": np.zeros((32, 32, 3), np.float32),
+         "bboxes": np.zeros((0, 4), np.float32), "labels": np.zeros((0,), np.int64)},
+    ]
+    out = CollateDetection(max_boxes=8)(items)
+    assert out["image"].shape == (2, 32, 32, 3)
+    assert out["bboxes"].shape == (2, 8, 4)
+    assert out["mask"].sum() == 2
+    assert out["mask"][0, :2].tolist() == [1, 1]
+    assert out["mask"][1].sum() == 0
+
+    items[0]["ids"] = np.array([7, 9])
+    items[1]["ids"] = np.zeros((0,), np.int64)
+    out = CollateTracking(max_boxes=4)(items)
+    assert out["ids"].shape == (2, 4)
+    assert out["ids"][0, :2].tolist() == [7, 9]
+
+
+def test_dataloader_and_builder(coco_dir):
+    img_dir, ann = coco_dir
+    ds = build_dataset({
+        "type": "coco", "img_dir": img_dir, "ann_json": ann,
+        "transforms": [{"name": "Resize", "init_args": {"height": 64, "width": 64}},
+                       {"name": "Normalize"}],
+    })
+    loader = build_dataloader(ds, batch_size=2, shuffle=True, num_workers=2,
+                              max_boxes=16)
+    batches = list(loader)
+    assert len(batches) == 2
+    for b in batches:
+        assert b["image"].shape == (2, 64, 64, 3)
+        assert b["bboxes"].shape == (2, 16, 4)
+        assert set(b) >= {"image", "bboxes", "labels", "mask"}
+
+
+def test_detection_for_tracking_unique_ids(coco_dir):
+    img_dir, ann = coco_dir
+    ds = DetectionForTracking(CocoDetection(img_dir, ann))
+    seen = []
+    for i in range(len(ds)):
+        seen.extend(ds[i]["ids"].tolist())
+    assert len(seen) == len(set(seen))  # globally unique identities
+    assert ds.max_track_ids >= len(seen)
