@@ -1,0 +1,12 @@
+from .coco_eval import CocoEvaluator, COCOProtocolEval, box_iou_xywh
+from .mot import (
+    clear_metrics,
+    evaluate_mot_tracking_sequence,
+    hota_score,
+    idf1_score,
+)
+from .utils import (
+    detections_to_coco_results,
+    ground_truth_to_coco_annotations,
+    write_mot_results,
+)

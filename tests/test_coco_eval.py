@@ -1,0 +1,134 @@
+"""COCO-protocol evaluator: analytic golden cases that pin the 101-point
+interpolation, IoU threshold sweep, area ranges, and maxDets semantics."""
+import numpy as np
+import pytest
+
+from centernet_lightning_tpu.eval.coco_eval import (
+    CocoEvaluator,
+    box_iou_xywh,
+)
+
+
+def ev(num_classes=1):
+    return CocoEvaluator(num_classes)
+
+
+def test_box_iou_xywh():
+    d = np.array([[0, 0, 10, 10]], float)
+    g = np.array([[0, 0, 10, 10], [5, 5, 10, 10], [20, 20, 5, 5]], float)
+    iou = box_iou_xywh(d, g)
+    np.testing.assert_allclose(iou[0], [1.0, 25 / 175, 0.0], rtol=1e-9)
+
+
+def test_perfect_detection():
+    e = ev()
+    gt = {"boxes": np.array([[10, 10, 50, 50], [100, 100, 40, 40]], float),
+          "labels": np.array([0, 0])}
+    pred = {"boxes": gt["boxes"].copy(), "scores": np.array([0.9, 0.8]),
+            "labels": np.array([0, 0])}
+    e.update([pred], [gt])
+    m = e.get_metrics()
+    assert m["mAP"] == pytest.approx(1.0)
+    assert m["AP50"] == pytest.approx(1.0)
+    assert m["mAR"] == pytest.approx(1.0)
+    assert m["AR1"] == pytest.approx(0.5)  # maxDets=1 catches one of two
+
+
+def test_no_detections():
+    e = ev()
+    gt = {"boxes": np.array([[10, 10, 50, 50]], float), "labels": np.array([0])}
+    pred = {"boxes": np.zeros((0, 4)), "scores": np.zeros(0), "labels": np.zeros(0, int)}
+    e.update([pred], [gt])
+    m = e.get_metrics()
+    assert m["mAP"] == pytest.approx(0.0)
+    assert m["mAR"] == pytest.approx(0.0)
+
+
+def test_half_recall_interpolation():
+    """2 GTs, 1 perfect det: precision 1 up to recall .5 -> AP = 51/101."""
+    e = ev()
+    gt = {"boxes": np.array([[10, 10, 50, 50], [200, 200, 50, 50]], float),
+          "labels": np.array([0, 0])}
+    pred = {"boxes": np.array([[10, 10, 50, 50]], float),
+            "scores": np.array([0.9]), "labels": np.array([0])}
+    e.update([pred], [gt])
+    m = e.get_metrics()
+    assert m["mAP"] == pytest.approx(51 / 101)
+    assert m["mAR"] == pytest.approx(0.5)
+
+
+def test_iou_threshold_sweep():
+    """det with IoU exactly 0.6 counts for thresholds .5, .55, .6 only."""
+    e = ev()
+    gt = {"boxes": np.array([[0, 0, 10, 10]], float), "labels": np.array([0])}
+    # box [0,0,6,10] vs [0,0,10,10]: inter 60, union 100 -> IoU 0.6
+    pred = {"boxes": np.array([[0, 0, 6, 10]], float) * np.array([1, 1, 1, 1.0]),
+            "scores": np.array([0.9]), "labels": np.array([0])}
+    pred["boxes"] = np.array([[0, 0, 6, 10]], float)
+    iou = box_iou_xywh(pred["boxes"], gt["boxes"])[0, 0]
+    assert iou == pytest.approx(0.6)
+    e.update([pred], [gt])
+    m = e.get_metrics()
+    assert m["mAP"] == pytest.approx(3 / 10)   # 3 of 10 thresholds pass
+    assert m["AP50"] == pytest.approx(1.0)
+    assert m["AP75"] == pytest.approx(0.0)
+
+
+def test_false_positive_ordering():
+    """High-scoring FP before the TP halves interpolated precision."""
+    e = ev()
+    gt = {"boxes": np.array([[0, 0, 10, 10]], float), "labels": np.array([0])}
+    pred = {"boxes": np.array([[50, 50, 10, 10], [0, 0, 10, 10]], float),
+            "scores": np.array([0.95, 0.9]), "labels": np.array([0, 0])}
+    e.update([pred], [gt])
+    m = e.get_metrics()
+    # at recall 1.0 precision is 1/2; envelope -> 0.5 at all recall points
+    assert m["mAP"] == pytest.approx(0.5)
+
+
+def test_area_ranges():
+    e = ev()
+    # one small (20x20=400 < 1024), one large (200x200 > 9216)
+    gt = {"boxes": np.array([[0, 0, 20, 20], [300, 300, 200, 200]], float),
+          "labels": np.array([0, 0])}
+    pred = {"boxes": gt["boxes"].copy(), "scores": np.array([0.9, 0.8]),
+            "labels": np.array([0, 0])}
+    e.update([pred], [gt])
+    m = e.get_metrics()
+    assert m["AP_small"] == pytest.approx(1.0)
+    assert m["AP_large"] == pytest.approx(1.0)
+    assert m["AP_medium"] == -1.0  # no medium GT -> excluded
+
+
+def test_multiclass_mean_excludes_empty():
+    e = ev(num_classes=3)
+    gt = {"boxes": np.array([[0, 0, 10, 10]], float), "labels": np.array([0])}
+    pred = {"boxes": np.array([[0, 0, 10, 10]], float),
+            "scores": np.array([0.9]), "labels": np.array([0])}
+    e.update([pred], [gt])
+    m = e.get_metrics()
+    assert m["mAP"] == pytest.approx(1.0)  # classes 1,2 have no GT -> excluded
+
+
+def test_duplicate_detections_are_fps():
+    """Second det on the same GT is a FP (greedy matching)."""
+    e = ev()
+    gt = {"boxes": np.array([[0, 0, 10, 10]], float), "labels": np.array([0])}
+    pred = {"boxes": np.array([[0, 0, 10, 10], [0.5, 0, 10, 10]], float),
+            "scores": np.array([0.9, 0.8]), "labels": np.array([0, 0])}
+    e.update([pred], [gt])
+    m = e.get_metrics()
+    assert m["mAP"] == pytest.approx(1.0)  # TP first; trailing FP doesn't dent envelope
+
+
+def test_streaming_update_and_reset():
+    e = ev()
+    gt = {"boxes": np.array([[0, 0, 10, 10]], float), "labels": np.array([0])}
+    pred = {"boxes": np.array([[0, 0, 10, 10]], float),
+            "scores": np.array([0.9]), "labels": np.array([0])}
+    e.update([pred], [gt])
+    e.update([pred], [gt])
+    assert len(e.preds) == 2
+    assert e.get_metrics()["mAP"] == pytest.approx(1.0)
+    e.reset()
+    assert len(e.preds) == 0
