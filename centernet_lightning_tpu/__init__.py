@@ -9,3 +9,7 @@ the reference's PyTorch patterns.
 """
 
 __version__ = "0.1.0"
+
+from .api import CenterNetPredictor, build_centernet  # noqa: E402
+from .models.centernet import CenterNet  # noqa: E402
+from .models.tracker import Track, Tracker, build_tracker  # noqa: E402

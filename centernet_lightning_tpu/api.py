@@ -1,0 +1,257 @@
+"""Public API — the documented reference surface, TPU-native.
+
+Restores the Gen-A/README contracts the reference documents but broke
+mid-refactor (reference README.md:34-65, 92-98; SURVEY.md §0):
+
+    model = build_centernet("configs/centernet.yaml")          # or ckpt dir
+    dets  = model.gather_detection2d(images)                   # device decode
+    out   = model.inference_detection(img_dir)                 # numpy dict
+    out   = model.inference_tracking(img_dir, save_dir=...)    # MOT tracking
+
+Everything device-side is one jitted program (preprocess -> forward ->
+decode); only the final top-k arrays cross to host.
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import Any, Dict, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .data.inference import InferenceDataset
+from .models.centernet import CenterNet
+from .models.tracker import Tracker
+from .ops.preprocess import IMAGENET_MEAN, IMAGENET_STD, preprocess
+from .train.config import load_config, normalize_config
+
+__all__ = ["CenterNetPredictor", "build_centernet"]
+
+
+def _extract_norm(data_cfg: Optional[Dict]) -> tuple:
+    """Pull Normalize(mean, std) out of a transforms config list."""
+    for t in (data_cfg or {}).get("transforms", []) or []:
+        if t.get("name") == "Normalize":
+            args = t.get("init_args") or t.get("params") or {}
+            return tuple(args.get("mean", IMAGENET_MEAN)), tuple(
+                args.get("std", IMAGENET_STD)
+            )
+    return tuple(IMAGENET_MEAN), tuple(IMAGENET_STD)
+
+
+class CenterNetPredictor:
+    """Task + weights bundle with the reference's inference API."""
+
+    def __init__(self, task: CenterNet, variables: Dict[str, Any],
+                 image_size=(512, 512),
+                 mean: Sequence[float] = IMAGENET_MEAN,
+                 std: Sequence[float] = IMAGENET_STD):
+        self.task = task
+        self.variables = variables
+        self.image_size = tuple(image_size)
+        self.mean = tuple(mean)
+        self.std = tuple(std)
+
+    # ------------------------------------------------------------------
+    # jitted device programs (cached per (k, nms, normalize) signature)
+    # ------------------------------------------------------------------
+
+    @functools.lru_cache(maxsize=8)
+    def _decode_fn(self, num_detections: int, nms_kernel: int, normalize: bool,
+                   raw_uint8: bool):
+        task, mean, std = self.task, self.mean, self.std
+
+        def fn(variables, images):
+            if raw_uint8:
+                images = preprocess(images, mean=mean, std=std)
+            outputs = task.model.apply(variables, images, train=False)
+            return task.decode_detections(
+                jax.nn.sigmoid(outputs["heatmap"]), outputs["box_2d"],
+                reid=outputs.get("reid"), normalize_boxes=normalize,
+                num_detections=num_detections, nms_kernel=nms_kernel,
+            )
+
+        return jax.jit(fn)
+
+    def __call__(self, images, train: bool = False):
+        """Raw forward: encoded outputs dict (README.md:92-95 step 1)."""
+        return self.task.model.apply(self.variables, images, train=train)
+
+    def gather_detection2d(self, images, num_detections: Optional[int] = None,
+                           nms_kernel: Optional[int] = None,
+                           normalize_boxes: bool = False) -> Dict[str, np.ndarray]:
+        """Forward + decode on preprocessed float images -> numpy
+        {bboxes xyxy, labels, scores} (README.md:96-98)."""
+        images = jnp.asarray(images)
+        raw = images.dtype == jnp.uint8
+        fn = self._decode_fn(
+            num_detections or self.task.num_detections,
+            nms_kernel or self.task.nms_kernel, normalize_boxes, raw,
+        )
+        out = fn(self.variables, images)
+        return {
+            "bboxes": np.asarray(out["boxes"]),
+            "labels": np.asarray(out["labels"]),
+            "scores": np.asarray(out["scores"]),
+            **({"embeddings": np.asarray(out["embeddings"])}
+               if "embeddings" in out else {}),
+        }
+
+    def gather_tracking2d(self, images, num_detections: Optional[int] = None,
+                          nms_kernel: Optional[int] = None) -> Dict[str, np.ndarray]:
+        """Tracking decode: boxes normalized + ReID embeddings
+        (reference fairmot.py:138-151)."""
+        return self.gather_detection2d(
+            images, num_detections=num_detections, nms_kernel=nms_kernel,
+            normalize_boxes=True,
+        )
+
+    # ------------------------------------------------------------------
+    # folder APIs
+    # ------------------------------------------------------------------
+
+    def inference_detection(self, img_dir: str, batch_size: int = 4,
+                            num_detections: int = 100,
+                            score_threshold: float = 0.0) -> Dict[str, np.ndarray]:
+        """Detect over a folder (README.md:49-65): returns numpy
+        {bboxes (I,K,4) xyxy in ORIGINAL image coords, labels (I,K),
+        scores (I,K)}."""
+        ds = InferenceDataset(img_dir, resize=self.image_size)
+        all_boxes, all_labels, all_scores, paths = [], [], [], []
+
+        for start in range(0, len(ds), batch_size):
+            items = [ds[i] for i in range(start, min(start + batch_size, len(ds)))]
+            n = len(items)
+            batch = np.stack([x["image"] for x in items])
+            if n < batch_size:  # pad for static shapes
+                pad = np.zeros((batch_size - n, *batch.shape[1:]), batch.dtype)
+                batch = np.concatenate([batch, pad])
+            dets = self.gather_detection2d(
+                jnp.asarray(batch), num_detections=num_detections,
+                normalize_boxes=True,
+            )
+            for i, item in enumerate(items):
+                scale = np.array([
+                    item["original_width"], item["original_height"],
+                    item["original_width"], item["original_height"],
+                ], np.float32)
+                all_boxes.append(dets["bboxes"][i] * scale)
+                all_labels.append(dets["labels"][i])
+                all_scores.append(dets["scores"][i])
+                paths.append(item["image_path"])
+
+        return {
+            "bboxes": np.stack(all_boxes) if all_boxes else np.zeros((0, num_detections, 4)),
+            "labels": np.stack(all_labels) if all_labels else np.zeros((0, num_detections), int),
+            "scores": np.stack(all_scores) if all_scores else np.zeros((0, num_detections)),
+            "image_paths": paths,
+        }
+
+    def inference_tracking(self, img_dir: str, batch_size: int = 4,
+                           save_dir: Optional[str] = None,
+                           save_results: bool = False,
+                           tracker_config: Optional[Dict] = None,
+                           **tracker_kwargs) -> Dict[str, list]:
+        """Track a folder of frames (the reference's commented-out
+        inference_tracking2d spec, fairmot.py:154-216). Returns per-frame
+        {'bboxes', 'track_ids'}; optionally writes MOT-format results."""
+        assert self.task.reid_config is not None, (
+            "tracking needs a model with a reid head (reid_config)"
+        )
+        cfg = dict(tracker_config or {})
+        cfg.update(tracker_kwargs)
+
+        def model_fn(images, num_detections=None, nms_kernel=None):
+            return self.gather_tracking2d(
+                jnp.asarray(images), num_detections=num_detections,
+                nms_kernel=nms_kernel,
+            )
+
+        tracker = Tracker(model=model_fn, **cfg)
+        ds = InferenceDataset(img_dir, resize=self.image_size)
+        out = {"bboxes": [], "track_ids": []}
+        results_path = None
+        if save_dir is not None and save_results:
+            os.makedirs(save_dir, exist_ok=True)
+            results_path = os.path.join(save_dir, "tracking_results.txt")
+            if os.path.exists(results_path):
+                os.remove(results_path)
+
+        frame = 0
+        for start in range(0, len(ds), batch_size):
+            items = [ds[i] for i in range(start, min(start + batch_size, len(ds)))]
+            batch = np.stack([x["image"] for x in items])
+            n = len(items)
+            if n < batch_size:
+                pad = np.zeros((batch_size - n, *batch.shape[1:]), batch.dtype)
+                batch = np.concatenate([batch, pad])
+            step_out = tracker.step_batch(batch)
+            step_out = {k: v[:n] for k, v in step_out.items()}
+            out["bboxes"].extend(step_out["bboxes"])
+            out["track_ids"].extend(step_out["track_ids"])
+
+            if results_path:
+                from .eval.utils import write_mot_results
+
+                for i, item in enumerate(items):
+                    write_mot_results(
+                        results_path,
+                        [step_out["bboxes"][i]], [step_out["track_ids"][i]],
+                        img_width=item["original_width"],
+                        img_height=item["original_height"],
+                        start_frame=frame + i,
+                    )
+            frame += n
+        return out
+
+
+def build_centernet(
+    config: Union[str, Dict[str, Any]],
+    checkpoint: Optional[str] = None,
+    rng=None,
+) -> CenterNetPredictor:
+    """YAML path / config dict / checkpoint dir -> ready predictor
+    (the documented Gen-A entry point, README.md:34-47).
+
+    Accepts Gen-A and Gen-B config shapes (train/config.py normalizes).
+    If `config` is a checkpoint directory with hparams.json, the model is
+    rebuilt from the checkpoint alone (Lightning load_from_checkpoint
+    equivalent).
+    """
+    from .train.checkpoint import load_checkpoint
+
+    hparams: Dict[str, Any]
+    state = None
+    if isinstance(config, str) and os.path.isdir(config):
+        state, hparams = load_checkpoint(config)
+        if hparams is None:
+            raise ValueError(f"{config} has no hparams.json")
+        model_cfg = hparams
+    else:
+        if isinstance(config, str):
+            config = load_config(config)
+        config = normalize_config(config)
+        model_cfg = dict(config.get("model", config))
+
+    # strip non-CenterNet keys
+    task_kwargs = {
+        k: v for k, v in model_cfg.items()
+        if k in CenterNet.__dataclass_fields__
+    }
+    task = CenterNet(**task_kwargs)
+
+    image_size = tuple(model_cfg.get("image_size", (512, 512)))
+    mean, std = _extract_norm(model_cfg.get("val_data"))
+
+    if checkpoint is not None:
+        state, _ = load_checkpoint(checkpoint)
+    if state is not None:
+        variables = {"params": state["params"],
+                     "batch_stats": state.get("batch_stats", {})}
+    else:
+        variables = task.init(rng or jax.random.PRNGKey(0), image_size=image_size)
+
+    return CenterNetPredictor(task, variables, image_size=image_size,
+                              mean=mean, std=std)

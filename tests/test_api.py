@@ -1,0 +1,133 @@
+"""Public API: build_centernet (Gen-A and Gen-B configs), folder inference,
+checkpoint round-trip, tracking inference."""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from centernet_lightning_tpu import build_centernet
+from centernet_lightning_tpu.train.checkpoint import (
+    latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+from centernet_lightning_tpu.train.config import load_config, normalize_config
+
+TINY_MODEL = {
+    "num_classes": 3,
+    "backbone": "resnet18",
+    "neck": "FPN",
+    "neck_config": {"out_channels": 32},
+    "head_config": {"width": 16, "depth": 1},
+    "num_detections": 10,
+    "image_size": [64, 64],
+}
+
+
+@pytest.fixture
+def img_folder(tmp_path):
+    import cv2
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        img = rng.integers(0, 255, size=(100, 140, 3), dtype=np.uint8)
+        cv2.imwrite(str(d / f"frame_{i:03d}.jpg"), img)
+    return str(d)
+
+
+def test_build_centernet_from_dict_and_inference(img_folder):
+    model = build_centernet({"model": TINY_MODEL})
+    out = model.inference_detection(img_folder, batch_size=2, num_detections=10)
+    assert out["bboxes"].shape == (3, 10, 4)
+    assert out["labels"].shape == (3, 10)
+    assert out["scores"].shape == (3, 10)
+    assert len(out["image_paths"]) == 3
+    # boxes are in original image coords (scaled back from 64x64)
+    assert np.isfinite(out["bboxes"]).all()
+
+
+def test_gather_detection2d_contract():
+    model = build_centernet({"model": TINY_MODEL})
+    imgs = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    dets = model.gather_detection2d(imgs)
+    assert dets["bboxes"].shape == (2, 10, 4)
+    assert dets["scores"].shape == (2, 10)
+    assert (dets["scores"][:, :-1] >= dets["scores"][:, 1:]).all()  # sorted
+    # uint8 input goes through fused device preprocessing
+    dets8 = model.gather_detection2d(jnp.zeros((2, 64, 64, 3), jnp.uint8))
+    assert dets8["bboxes"].shape == (2, 10, 4)
+
+
+def test_build_from_gen_a_yaml(tmp_path):
+    yaml_text = """
+model:
+  task: detection
+  backbone: {name: resnet18, pretrained: False}
+  neck: {name: simple, upsample_channels: [32, 16, 16]}
+  output_heads:
+    heatmap: {num_classes: 2, loss_function: cornernet_focal, loss_weight: 1}
+    box_2d: {loss_function: giou, loss_weight: 5}
+  optimizer: {name: SGD, params: {lr: 0.02}}
+"""
+    p = tmp_path / "gen_a.yaml"
+    p.write_text(yaml_text)
+    model = build_centernet(str(p))
+    assert model.task.num_classes == 2
+    assert model.task.box_loss == "GIoULoss"
+    assert model.task.neck == "SimpleNeck"
+    assert model.task.stride == 4
+
+
+def test_base_config_inheritance(tmp_path):
+    (tmp_path / "base.yaml").write_text(
+        "model: {num_classes: 5, backbone: resnet18, lr_unused: 1}\n"
+    )
+    (tmp_path / "child.yaml").write_text(
+        "__base__: base.yaml\nmodel: {num_classes: 7}\n"
+    )
+    cfg = load_config(str(tmp_path / "child.yaml"))
+    assert cfg["model"]["num_classes"] == 7
+    assert cfg["model"]["backbone"] == "resnet18"
+
+
+def test_checkpoint_roundtrip_and_rebuild(tmp_path):
+    model = build_centernet({"model": TINY_MODEL})
+    state_tree = {
+        "params": jax.device_get(model.variables["params"]),
+        "batch_stats": jax.device_get(model.variables.get("batch_stats", {})),
+        "step": 42,
+    }
+    ckpt_dir = str(tmp_path / "run")
+    save_checkpoint(ckpt_dir, state_tree, hparams=TINY_MODEL, step=42)
+    assert latest_checkpoint(ckpt_dir).endswith("step_42")
+
+    restored, hparams = load_checkpoint(ckpt_dir)
+    assert hparams["num_classes"] == 3
+    assert int(restored["step"]) == 42
+
+    # rebuild the full predictor from the checkpoint dir alone
+    model2 = build_centernet(ckpt_dir)
+    imgs = jnp.ones((1, 64, 64, 3), jnp.float32)
+    d1 = model.gather_detection2d(imgs)
+    d2 = model2.gather_detection2d(imgs)
+    np.testing.assert_allclose(d1["scores"], d2["scores"], rtol=1e-5)
+    np.testing.assert_array_equal(d1["labels"], d2["labels"])
+
+
+def test_inference_tracking(img_folder, tmp_path):
+    cfg = dict(TINY_MODEL)
+    cfg["num_classes"] = 1
+    cfg["reid_config"] = {"emb_dim": 8, "max_track_ids": 20}
+    model = build_centernet({"model": cfg})
+    save_dir = str(tmp_path / "track_out")
+    out = model.inference_tracking(
+        img_folder, batch_size=2, save_dir=save_dir, save_results=True,
+        detection_threshold=0.0, min_birth_age=1, num_detections=5,
+    )
+    assert len(out["bboxes"]) == 3
+    assert len(out["track_ids"]) == 3
+    assert os.path.exists(os.path.join(save_dir, "tracking_results.txt"))
