@@ -23,9 +23,11 @@ def _pad_batch(batch: List[Dict], keys, max_boxes: Optional[int]) -> Dict[str, n
         k = max_boxes
     k = max(k, 1)
 
+    # collated batches use the task's canonical key "boxes" (dataset samples
+    # keep the reference's "bboxes"; this boundary is the rename point)
     out = {
         "image": np.stack([x["image"] for x in batch]).astype(np.float32),
-        "bboxes": np.zeros((n, k, 4), np.float32),
+        "boxes": np.zeros((n, k, 4), np.float32),
         "labels": np.zeros((n, k), np.int32),
         "mask": np.zeros((n, k), np.float32),
     }
@@ -37,7 +39,7 @@ def _pad_batch(batch: List[Dict], keys, max_boxes: Optional[int]) -> Dict[str, n
     for b, item in enumerate(batch):
         m = min(len(item["labels"]), k)
         if m > 0:
-            out["bboxes"][b, :m] = item["bboxes"][:m]
+            out["boxes"][b, :m] = item["bboxes"][:m]
             out["labels"][b, :m] = item["labels"][:m]
             out["mask"][b, :m] = 1
             if "ids" in keys:

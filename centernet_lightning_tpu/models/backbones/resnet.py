@@ -29,11 +29,11 @@ class BasicBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         norm = partial(nn.BatchNorm, use_running_average=not train, momentum=0.9, epsilon=1e-5)
         residual = x
-        y = nn.Conv(self.filters, (3, 3), strides=self.strides, padding="SAME",
+        y = nn.Conv(self.filters, (3, 3), strides=self.strides, padding=[(1, 1), (1, 1)],
                     use_bias=False, kernel_init=nn.initializers.he_normal())(x)
         y = norm()(y)
         y = nn.relu(y)
-        y = nn.Conv(self.filters, (3, 3), padding="SAME",
+        y = nn.Conv(self.filters, (3, 3), padding=[(1, 1), (1, 1)],
                     use_bias=False, kernel_init=nn.initializers.he_normal())(y)
         y = norm(scale_init=nn.initializers.zeros)(y)  # zero-init last BN (torch recipe)
         if residual.shape != y.shape:
@@ -57,7 +57,7 @@ class Bottleneck(nn.Module):
                     kernel_init=nn.initializers.he_normal())(x)
         y = norm()(y)
         y = nn.relu(y)
-        y = nn.Conv(self.filters, (3, 3), strides=self.strides, padding="SAME",
+        y = nn.Conv(self.filters, (3, 3), strides=self.strides, padding=[(1, 1), (1, 1)],
                     use_bias=False, kernel_init=nn.initializers.he_normal())(y)
         y = norm()(y)
         y = nn.relu(y)

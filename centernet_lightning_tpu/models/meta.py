@@ -43,6 +43,19 @@ class GenericModel(nn.Module):
         assert self.classifier is not None
         return self.classifier(embeddings, train)
 
+    def forward_with_classifier(self, x, indices, train: bool = True):
+        """Forward + ReID-embedding gather at flat indices + identity logits,
+        in ONE apply so batch_stats from the backbone and the classifier
+        mutate together. indices: (N, K) flattened y*W + x.
+        Returns (outputs dict, logits (N*K, max_track_ids))."""
+        from ..ops.decode import gather_at_indices
+
+        out = self(x, train)
+        emb = gather_at_indices(out["reid"], indices)      # (N, K, E)
+        n, k, e = emb.shape
+        logits = self.classifier(emb.reshape(n * k, e), train)
+        return out, logits
+
 
 def create_model(
     num_classes: int,

@@ -50,32 +50,28 @@ def create_train_state(task, tx, rng=None, image_size=(512, 512)) -> TrainState:
     )
 
 
-def make_train_step(
-    task,
-    extra_loss_fn: Optional[Callable] = None,
-    donate: bool = True,
-) -> Callable:
+def make_train_step(task, donate: bool = True) -> Callable:
     """Build the jitted train step.
 
-    extra_loss_fn(task, variables_out, outputs, batch, params) -> (loss, dict)
-    lets FairMOT add the ReID objective without forking the step.
+    Delegates the forward+loss to `task.train_forward(variables, batch)`
+    when defined (FairMOT adds the ReID objective there, keeping one apply
+    and one batch_stats mutation); plain CenterNet uses the default below.
     """
+
+    def default_train_forward(variables, batch):
+        outputs, mutated = task.model.apply(
+            variables, batch["image"], train=True, mutable=["batch_stats"]
+        )
+        losses = task.compute_loss(outputs, batch)
+        return losses, mutated["batch_stats"]
+
+    train_forward = getattr(task, "train_forward", None) or default_train_forward
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
-            outputs, mutated = task.model.apply(
-                variables, batch["image"], train=True, mutable=["batch_stats"]
-            )
-            losses = task.compute_loss(outputs, batch)
-            total = losses["total"]
-            if extra_loss_fn is not None:
-                extra_total, extra_logs = extra_loss_fn(
-                    task, variables, outputs, batch, params
-                )
-                total = total + extra_total
-                losses = {**losses, **extra_logs, "total": total}
-            return total, (losses, mutated["batch_stats"])
+            losses, new_bs = train_forward(variables, batch)
+            return losses["total"], (losses, new_bs)
 
         grads, (losses, new_bs) = jax.grad(loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads, new_bs)

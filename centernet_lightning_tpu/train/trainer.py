@@ -1,0 +1,249 @@
+"""Training orchestration — the Lightning Trainer/CLI replacement.
+
+Drives the jitted train step (train/state.py) over the data-parallel mesh
+(parallel/mesh.py), with:
+ - per-step train/{k}_loss logging           (reference meta.py:115-125)
+ - per-epoch COCO validation -> val/<12 metrics>  (centernet.py:202-218)
+ - or MOT tracking validation -> val/HOTA|MOTA|IDF1  (fairmot.py:87-136)
+ - orbax checkpointing monitoring a metric + save_last + auto-resume
+   (SURVEY.md §5.4), param-count report at fit start (meta.py:108-113)
+ - optional jax.profiler trace (--profile, SURVEY.md §5.1)
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..eval.coco_eval import CocoEvaluator
+from ..eval.mot import evaluate_mot_tracking_sequence
+from ..models.meta import param_count_report
+from ..models.tracker import Tracker
+from ..parallel.mesh import all_gather_host, batch_sharding, create_mesh, replicated
+from ..utils.box_np import convert_box_format
+from .checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+from .logging import MetricLogger
+from .optim import make_optimizer
+from .state import TrainState, create_train_state, make_eval_step, make_train_step
+
+__all__ = ["Trainer"]
+
+
+class Trainer:
+    def __init__(
+        self,
+        task,
+        train_loader=None,
+        val_loader=None,
+        max_epochs: int = 100,
+        optimizer_config: Optional[Dict[str, Any]] = None,
+        ckpt_dir: Optional[str] = None,
+        log_dir: Optional[str] = None,
+        monitor: str = "val/mAP",
+        monitor_mode: str = "max",
+        val_interval: int = 1,
+        image_size=(512, 512),
+        seed: int = 0,
+        resume: bool = True,
+        profile: bool = False,
+        log_every: int = 50,
+        tracker_config: Optional[Dict[str, Any]] = None,
+    ):
+        self.task = task
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.max_epochs = max_epochs
+        self.ckpt_dir = ckpt_dir
+        self.monitor = monitor
+        self.monitor_mode = monitor_mode
+        self.val_interval = val_interval
+        self.image_size = tuple(image_size)
+        self.seed = seed
+        self.resume = resume
+        self.profile = profile
+        self.log_every = log_every
+        self.tracker_config = tracker_config or {}
+
+        self.mesh = create_mesh()
+        self.logger = MetricLogger(log_dir)
+
+        opt_cfg = dict(optimizer_config or task.optimizer_config or {})
+        opt_cfg.pop("jit", None)  # always jitted here
+        steps_per_epoch = len(train_loader) if train_loader else 1
+        rng = jax.random.PRNGKey(seed)
+        variables = task.init(rng, image_size=self.image_size)
+        self.tx = make_optimizer(
+            variables["params"], max_epochs=max_epochs,
+            steps_per_epoch=steps_per_epoch, **opt_cfg,
+        )
+        self.state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=self.tx.init(variables["params"]),
+            tx=self.tx,
+        )
+        self.start_epoch = 0
+        self._maybe_resume()
+
+        # replicate state over the mesh once
+        rep = replicated(self.mesh)
+        self.state = self.state.replace(
+            params=jax.device_put(self.state.params, rep),
+            batch_stats=jax.device_put(self.state.batch_stats, rep),
+            opt_state=jax.device_put(self.state.opt_state, rep),
+            step=jax.device_put(self.state.step, rep),
+        )
+
+        self.train_step = make_train_step(task)
+        self.eval_step = make_eval_step(task)
+        self.best_metric = -np.inf if monitor_mode == "max" else np.inf
+
+    # ------------------------------------------------------------------
+
+    def _maybe_resume(self):
+        if not (self.resume and self.ckpt_dir):
+            return
+        latest = latest_checkpoint(self.ckpt_dir)
+        if latest is None:
+            return
+        target = {
+            "params": jax.device_get(self.state.params),
+            "batch_stats": jax.device_get(self.state.batch_stats),
+            "opt_state": jax.device_get(self.state.opt_state),
+            "step": 0,
+            "epoch": 0,
+        }
+        restored, _ = load_checkpoint(latest, target=target)
+        self.state = self.state.replace(
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+            step=jnp.asarray(restored["step"], jnp.int32),
+        )
+        self.start_epoch = int(restored.get("epoch", 0))
+        if jax.process_index() == 0:
+            print(f"resumed from {latest} (epoch {self.start_epoch})")
+
+    def _save(self, epoch: int, tag: Optional[str] = None):
+        if not self.ckpt_dir or jax.process_index() != 0:
+            return
+        tree = {
+            "params": jax.device_get(self.state.params),
+            "batch_stats": jax.device_get(self.state.batch_stats),
+            "opt_state": jax.device_get(self.state.opt_state),
+            "step": int(self.state.step),
+            "epoch": epoch,
+        }
+        save_checkpoint(self.ckpt_dir, tree, hparams=self.task.hparams,
+                        step=int(self.state.step))
+
+    def _shard(self, batch):
+        sharding = batch_sharding(self.mesh)
+        return {
+            k: jax.device_put(jnp.asarray(v), sharding)
+            for k, v in batch.items() if k != "image_id"
+        }
+
+    # ------------------------------------------------------------------
+
+    def fit(self):
+        if jax.process_index() == 0:
+            print(param_count_report({"params": jax.device_get(self.state.params)}))
+
+        if self.profile and jax.process_index() == 0:
+            jax.profiler.start_trace(os.path.join(self.ckpt_dir or ".", "profile"))
+
+        for epoch in range(self.start_epoch, self.max_epochs):
+            t0 = time.time()
+            n_imgs = 0
+            for batch in self.train_loader:
+                sharded = self._shard(batch)
+                n_imgs += batch["image"].shape[0]
+                self.state, losses = self.train_step(self.state, sharded)
+                step = int(self.state.step)
+                if step % self.log_every == 0:
+                    metrics = {f"train/{k}_loss": float(v) for k, v in losses.items()}
+                    metrics["train/images_per_sec"] = n_imgs / (time.time() - t0)
+                    self.logger.log(metrics, step)
+
+            if self.profile and epoch == self.start_epoch and jax.process_index() == 0:
+                jax.profiler.stop_trace()
+                self.profile = False
+
+            if self.val_loader is not None and (epoch + 1) % self.val_interval == 0:
+                metrics = self.validate()
+                self.logger.log(metrics, int(self.state.step))
+                score = metrics.get(self.monitor)
+                if score is not None:
+                    better = (score > self.best_metric if self.monitor_mode == "max"
+                              else score < self.best_metric)
+                    if better:
+                        self.best_metric = score
+                        self._save(epoch + 1, tag="best")
+            self._save(epoch + 1)
+        return self.state
+
+    # ------------------------------------------------------------------
+
+    def validate(self) -> Dict[str, float]:
+        if self.task.reid_config is not None:
+            return self.validate_tracking()
+        return self.validate_detection()
+
+    def validate_detection(self) -> Dict[str, float]:
+        """COCO validation epoch (reference centernet.py:202-218)."""
+        evaluator = CocoEvaluator(self.task.num_classes)
+        for batch in self.val_loader:
+            sharded = self._shard(batch)
+            dets = self.eval_step(self.state, sharded)
+            dets = jax.device_get(dets)
+            boxes_xywh = convert_box_format(dets["boxes"], "xyxy", "xywh")
+            n = batch["image"].shape[0]
+            preds = [
+                {"boxes": boxes_xywh[i], "scores": dets["scores"][i],
+                 "labels": dets["labels"][i]}
+                for i in range(n)
+            ]
+            targets = []
+            for i in range(n):
+                m = batch["mask"][i].astype(bool)
+                targets.append({"boxes": batch["boxes"][i][m],
+                                "labels": batch["labels"][i][m]})
+            # multihost: union per-process predictions (eval/coco.py:10-18 analog)
+            evaluator.update(preds, targets)
+        if jax.process_count() > 1:
+            evaluator.preds = list(all_gather_host(evaluator.preds))
+            evaluator.targets = list(all_gather_host(evaluator.targets))
+        return {f"val/{k}": v for k, v in evaluator.get_metrics().items()}
+
+    def validate_tracking(self) -> Dict[str, float]:
+        """MOT validation: tracker.update per frame + HOTA/MOTA/IDF1
+        (reference fairmot.py:87-136)."""
+        tracker = Tracker(model=None, **self.tracker_config)
+        pred_b, pred_i, gt_b, gt_i = [], [], [], []
+        for batch in self.val_loader:
+            sharded = self._shard(batch)
+            dets = jax.device_get(self.eval_step(self.state, sharded))
+            n = batch["image"].shape[0]
+            in_h, in_w = batch["image"].shape[1:3]
+            for i in range(n):
+                tracker.update(
+                    dets["boxes"][i] / np.array([in_w, in_h, in_w, in_h]),
+                    dets["labels"][i], dets["scores"][i], dets["embeddings"][i],
+                )
+                pred_b.append([
+                    convert_box_format(t.bbox, "xyxy", "xywh")
+                    for t in tracker.tracks if t.active
+                ])
+                pred_i.append([t.track_id for t in tracker.tracks if t.active])
+                m = batch["mask"][i].astype(bool)
+                boxes = batch["boxes"][i][m] / np.array([in_w, in_h, in_w, in_h])
+                gt_b.append(boxes)
+                gt_i.append(batch["ids"][i][m])
+        metrics = evaluate_mot_tracking_sequence(pred_b, pred_i, gt_b, gt_i)
+        return {f"val/{k}": v for k, v in metrics.items()}

@@ -215,7 +215,7 @@ def test_collate_padding_and_mask():
     ]
     out = CollateDetection(max_boxes=8)(items)
     assert out["image"].shape == (2, 32, 32, 3)
-    assert out["bboxes"].shape == (2, 8, 4)
+    assert out["boxes"].shape == (2, 8, 4)
     assert out["mask"].sum() == 2
     assert out["mask"][0, :2].tolist() == [1, 1]
     assert out["mask"][1].sum() == 0
@@ -240,7 +240,7 @@ def test_dataloader_and_builder(coco_dir):
     assert len(batches) == 2
     for b in batches:
         assert b["image"].shape == (2, 64, 64, 3)
-        assert b["bboxes"].shape == (2, 16, 4)
+        assert b["boxes"].shape == (2, 16, 4)
         assert set(b) >= {"image", "bboxes", "labels", "mask"}
 
 

@@ -1,0 +1,122 @@
+"""End-to-end: Trainer overfits a tiny synthetic COCO dataset and the COCO
+validation mAP comes out high — the integration test the reference lacked
+(SURVEY.md §4 carry-over). Also exercises FairMOT's combined train step."""
+import json
+
+import numpy as np
+import jax
+import pytest
+
+from centernet_lightning_tpu.data import (
+    CocoDetection,
+    build_dataloader,
+    build_transforms,
+)
+from centernet_lightning_tpu.models.centernet import CenterNet
+from centernet_lightning_tpu.models.fairmot import FairMOT
+from centernet_lightning_tpu.train.trainer import Trainer
+
+IMG = 64
+
+
+@pytest.fixture
+def synthetic_coco(tmp_path):
+    """Images with bright rectangles on dark background; box = rectangle."""
+    import cv2
+
+    img_dir = tmp_path / "img"
+    img_dir.mkdir()
+    rng = np.random.default_rng(7)
+    images, annotations = [], []
+    ann_id = 1
+    for i in range(8):
+        img = np.full((IMG, IMG, 3), 20, np.uint8)
+        x, y = int(rng.integers(5, 30)), int(rng.integers(5, 30))
+        w, h = int(rng.integers(15, 25)), int(rng.integers(15, 25))
+        img[y:y + h, x:x + w] = 230
+        name = f"{i:04d}.jpg"
+        cv2.imwrite(str(img_dir / name), img)
+        images.append({"id": i + 1, "file_name": name, "width": IMG, "height": IMG})
+        annotations.append({
+            "id": ann_id, "image_id": i + 1, "category_id": 1,
+            "bbox": [x, y, w, h], "area": w * h, "iscrowd": 0,
+        })
+        ann_id += 1
+    ann_path = tmp_path / "ann.json"
+    ann_path.write_text(json.dumps({
+        "images": images, "annotations": annotations,
+        "categories": [{"id": 1, "name": "rect"}],
+    }))
+    return str(img_dir), str(ann_path)
+
+
+def make_loader(synthetic_coco, batch_size=4):
+    img_dir, ann = synthetic_coco
+    tf = build_transforms([{"name": "Normalize"}], seed=0)
+    ds = CocoDetection(img_dir, ann, transforms=tf)
+    return build_dataloader(ds, batch_size=batch_size, shuffle=True,
+                            num_workers=0, max_boxes=8, drop_last=False)
+
+
+def test_trainer_overfits_synthetic_coco(synthetic_coco, tmp_path):
+    task = CenterNet(
+        num_classes=1, backbone="resnet18", neck="SimpleNeck",
+        neck_config={"upsample_channels": [32, 32, 32]},
+        head_config={"width": 32, "depth": 1},
+        box_loss="GIoULoss", box_loss_weight=5.0, box_multiplier=16.0,
+        num_detections=8,
+        optimizer_config={"optimizer": "Adam", "lr": 2e-3, "weight_decay": 0,
+                          "warmup_epochs": 0},
+    )
+    loader = make_loader(synthetic_coco)
+    trainer = Trainer(
+        task, train_loader=loader, val_loader=make_loader(synthetic_coco),
+        max_epochs=30, image_size=(IMG, IMG),
+        ckpt_dir=str(tmp_path / "ckpt"), log_dir=str(tmp_path / "logs"),
+        val_interval=30, log_every=10,
+    )
+    trainer.fit()
+    metrics = trainer.validate_detection()
+    # 30 epochs x 2 steps on 8 trivial images: must find the rectangles
+    assert metrics["val/AP50"] > 0.5, metrics
+    # checkpoint was written and metrics logged
+    assert (tmp_path / "ckpt").exists()
+    assert (tmp_path / "logs" / "metrics.jsonl").exists()
+
+
+def test_fairmot_train_step_runs(rng):
+    task = FairMOT(
+        num_classes=1, backbone="resnet18", neck="SimpleNeck",
+        neck_config={"upsample_channels": [32, 16, 16]},
+        head_config={"width": 16, "depth": 1},
+        reid_config={"emb_dim": 8, "max_track_ids": 16},
+    )
+    from centernet_lightning_tpu.train import make_optimizer, make_train_step
+    from centernet_lightning_tpu.train.state import TrainState
+    import jax.numpy as jnp
+
+    variables = task.init(jax.random.PRNGKey(0), image_size=(IMG, IMG))
+    tx = make_optimizer(variables["params"], optimizer="Adam", lr=1e-3,
+                        max_epochs=1, steps_per_epoch=10, warmup_epochs=0)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=variables["params"],
+                       batch_stats=variables.get("batch_stats", {}),
+                       opt_state=tx.init(variables["params"]), tx=tx)
+
+    batch = {
+        "image": jnp.asarray(rng.normal(size=(2, IMG, IMG, 3)).astype(np.float32)),
+        "boxes": jnp.asarray([[[10, 10, 20, 20], [0, 0, 0, 0]],
+                              [[30, 30, 20, 15], [5, 40, 10, 10]]], jnp.float32),
+        "labels": jnp.zeros((2, 2), jnp.int32),
+        "ids": jnp.asarray([[3, 0], [7, 11]], jnp.int32),
+        "mask": jnp.asarray([[1, 0], [1, 1]], jnp.float32),
+    }
+    step_fn = make_train_step(task, donate=False)
+    state, losses = step_fn(state, batch)
+    assert set(losses) == {"heatmap", "box_2d", "reid", "total"}
+    for v in losses.values():
+        assert np.isfinite(float(v))
+    # reid loss decreases with training
+    first_reid = float(losses["reid"])
+    for _ in range(10):
+        state, losses = step_fn(state, batch)
+    assert float(losses["reid"]) < first_reid

@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Export CLI — deploy artifacts with decode IN-GRAPH.
+
+TPU-native equivalent of the reference's ONNX/TorchScript export
+(reference tools/export.py:7-32): the jitted preprocess+forward+decode
+program is serialized as StableHLO (jax.export) and/or a TF SavedModel
+(orbax-export), both traced at a fixed input shape like the reference's
+1x3x512x512 trace. The decode stays in-graph (README.md:105-116
+"export-friendly" contract).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def make_serving_fn(predictor, batch_size: int, height: int, width: int,
+                    raw_uint8: bool = True):
+    """(images) -> {boxes, scores, labels} closed over the weights."""
+    task = predictor.task
+    variables = predictor.variables
+
+    def serve(images):
+        if raw_uint8:
+            from centernet_lightning_tpu.ops.preprocess import preprocess
+
+            images = preprocess(images, mean=predictor.mean, std=predictor.std)
+        out = task.model.apply(variables, images, train=False)
+        return task.decode_detections(
+            jax.nn.sigmoid(out["heatmap"]), out["box_2d"],
+            reid=out.get("reid"),
+        )
+
+    dtype = jnp.uint8 if raw_uint8 else jnp.float32
+    example = jnp.zeros((batch_size, height, width, 3), dtype)
+    return serve, example
+
+
+def export_stablehlo(predictor, output: str, batch_size: int = 1,
+                     height: int = 512, width: int = 512):
+    """Serialize the serving program as portable StableHLO bytes."""
+    from jax import export as jax_export
+
+    serve, example = make_serving_fn(predictor, batch_size, height, width)
+    exported = jax_export.export(jax.jit(serve))(example)
+    blob = exported.serialize()
+    with open(output, "wb") as f:
+        f.write(blob)
+    print(f"wrote StableHLO ({len(blob)} bytes) -> {output}")
+    return output
+
+
+def export_savedmodel(predictor, output: str, batch_size: int = 1,
+                      height: int = 512, width: int = 512):
+    """TF SavedModel via orbax-export (serving on TF runtimes)."""
+    import tensorflow as tf
+    from orbax.export import ExportManager, JaxModule, ServingConfig
+
+    task = predictor.task
+
+    def model_fn(params, images):
+        variables = {"params": params,
+                     "batch_stats": predictor.variables.get("batch_stats", {})}
+        from centernet_lightning_tpu.ops.preprocess import preprocess
+
+        images = preprocess(images, mean=predictor.mean, std=predictor.std)
+        out = task.model.apply(variables, images, train=False)
+        return task.decode_detections(
+            jax.nn.sigmoid(out["heatmap"]), out["box_2d"]
+        )
+
+    module = JaxModule(predictor.variables["params"], model_fn)
+    manager = ExportManager(module, [ServingConfig(
+        "serving_default",
+        input_signature=[tf.TensorSpec([batch_size, height, width, 3], tf.uint8)],
+    )])
+    manager.save(output)
+    print(f"wrote SavedModel -> {output}")
+    return output
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Export CenterNet for serving")
+    parser.add_argument("--config", help="model yaml (or use --checkpoint dir)")
+    parser.add_argument("--checkpoint", help="checkpoint dir/step to load")
+    parser.add_argument("--output", required=True)
+    parser.add_argument("--format", choices=["stablehlo", "savedmodel"],
+                        default="stablehlo")
+    parser.add_argument("--batch-size", type=int, default=1)
+    parser.add_argument("--height", type=int, default=512)
+    parser.add_argument("--width", type=int, default=512)
+    args = parser.parse_args()
+
+    from centernet_lightning_tpu import build_centernet
+
+    source = args.config or args.checkpoint
+    predictor = build_centernet(source, checkpoint=args.checkpoint
+                                if args.config else None)
+    if args.format == "stablehlo":
+        export_stablehlo(predictor, args.output, args.batch_size,
+                         args.height, args.width)
+    else:
+        export_savedmodel(predictor, args.output, args.batch_size,
+                          args.height, args.width)
+
+
+if __name__ == "__main__":
+    main()

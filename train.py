@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Train CLI — the reference's `python train.py --config configs/x.yaml`
+entry point (reference train.py:1-5), TPU-native.
+
+Accepts Gen-A and Gen-B config shapes (train/config.py normalizes). The
+`trainer:` section maps Lightning keys onto our Trainer where they exist
+(max_epochs, val_check_interval, gradient_clip_val); device placement is
+the JAX mesh — no `gpus:`/`strategy:` needed.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+from centernet_lightning_tpu.data import build_dataloader, build_dataset
+from centernet_lightning_tpu.models.centernet import CenterNet
+from centernet_lightning_tpu.models.fairmot import FairMOT
+from centernet_lightning_tpu.train.config import load_config, normalize_config
+from centernet_lightning_tpu.train.trainer import Trainer
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Train CenterNet/FairMOT on TPU")
+    parser.add_argument("--config", required=True, help="YAML config path")
+    parser.add_argument("--workdir", default="runs/default", help="checkpoints + logs")
+    parser.add_argument("--max-epochs", type=int, default=None)
+    parser.add_argument("--profile", action="store_true",
+                        help="capture a jax.profiler trace of the first epoch")
+    parser.add_argument("--no-resume", action="store_true")
+    args = parser.parse_args()
+
+    config = normalize_config(load_config(args.config))
+    model_cfg = dict(config["model"])
+    trainer_cfg = dict(config.get("trainer", {}))
+
+    train_data = model_cfg.pop("train_data", None) or {}
+    val_data = model_cfg.pop("val_data", None) or {}
+    task_kwargs = {k: v for k, v in model_cfg.items()
+                   if k in CenterNet.__dataclass_fields__}
+    task_kwargs["train_data"] = train_data
+    task_kwargs["val_data"] = val_data
+
+    is_tracking = model_cfg.get("reid_config") is not None
+    task_cls = FairMOT if is_tracking else CenterNet
+    if is_tracking:
+        task_kwargs["reid_loss_weight"] = model_cfg.get("reid_loss_weight", 1.0)
+    task = task_cls(**task_kwargs)
+
+    def make_loader(data_cfg, train):
+        if not data_cfg or "type" not in data_cfg and "img_dir" not in data_cfg:
+            return None
+        cfg = dict(data_cfg)
+        cfg.setdefault("type", "coco")
+        loader_keys = {"batch_size", "num_workers", "shuffle", "max_boxes",
+                       "drop_last", "pin_memory"}
+        loader_cfg = {k: cfg.pop(k) for k in list(cfg) if k in loader_keys}
+        loader_cfg.pop("pin_memory", None)
+        ds = build_dataset(cfg, seed=0 if train else 1)
+        return build_dataloader(ds, shuffle=train, **loader_cfg)
+
+    train_loader = make_loader(train_data, train=True)
+    val_loader = make_loader(val_data, train=False)
+
+    image_size = tuple(model_cfg.get("image_size", (512, 512)))
+    max_epochs = (args.max_epochs or trainer_cfg.get("max_epochs", 100))
+
+    monitor = "val/HOTA" if is_tracking else "val/mAP"
+    for cb in trainer_cfg.get("callbacks", []) or []:
+        init = cb.get("init_args") or cb.get("params") or {}
+        if "monitor" in init:
+            monitor = init["monitor"]
+
+    opt_cfg = dict(model_cfg.get("optimizer_config") or {})
+    if trainer_cfg.get("gradient_clip_val"):
+        opt_cfg.setdefault("gradient_clip_val", trainer_cfg["gradient_clip_val"])
+
+    trainer = Trainer(
+        task,
+        train_loader=train_loader,
+        val_loader=val_loader,
+        max_epochs=max_epochs,
+        optimizer_config=opt_cfg,
+        ckpt_dir=os.path.join(args.workdir, "checkpoints"),
+        log_dir=os.path.join(args.workdir, "logs"),
+        monitor=monitor,
+        val_interval=int(trainer_cfg.get("check_val_every_n_epoch", 1)),
+        image_size=image_size,
+        resume=not args.no_resume,
+        profile=args.profile,
+        tracker_config=config.get("tracker", {}),
+    )
+    trainer.fit()
+
+
+if __name__ == "__main__":
+    main()
