@@ -50,6 +50,9 @@ def main():
     on_tpu = jax.devices()[0].platform != "cpu"
     batch_size = int(os.environ.get("BENCH_BATCH", 32 if on_tpu else 2))
     use_pallas = on_tpu  # fused kernel needs real mosaic lowering
+    # bf16 keeps the MXU at full rate; decode stays f32 (scores/boxes exact)
+    dtype = jnp.bfloat16 if os.environ.get(
+        "BENCH_DTYPE", "bf16" if on_tpu else "f32") == "bf16" else jnp.float32
 
     task = CenterNet(
         num_classes=80, backbone="resnet34",
@@ -59,6 +62,10 @@ def main():
     )
     variables = task.init(jax.random.PRNGKey(0), image_size=(512, 512),
                           batch_size=1)
+    variables = jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        variables,
+    )
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(
@@ -67,22 +74,23 @@ def main():
 
     def forward_decode(variables, imgs):
         out = task.model.apply(variables, imgs, train=False)
-        heatmap = jax.nn.sigmoid(out["heatmap"])
+        heatmap = jax.nn.sigmoid(out["heatmap"].astype(jnp.float32))
+        box = out["box_2d"].astype(jnp.float32)
         if use_pallas:
             return decode_detections_pallas(
-                heatmap, out["box_2d"], num_detections=task.num_detections,
+                heatmap, box, num_detections=task.num_detections,
                 stride=task.stride,
             )
-        return task.decode_detections(heatmap, out["box_2d"])
+        return task.decode_detections(heatmap, box)
 
     @partial(jax.jit, static_argnums=(2,))
     def loop(variables, images, n_iters):
-        base = preprocess(images)
+        base = preprocess(images, dtype=dtype)
 
         def body(i, acc):
             # iteration-dependent perturbation keeps the body loop-variant
             # (prevents XLA LICM from hoisting the forward out of the loop)
-            imgs = base + (i.astype(jnp.float32) * 1e-12)
+            imgs = base + (i.astype(dtype) * 1e-3)
             out = forward_decode(variables, imgs)
             return acc + jnp.sum(out["scores"]) + jnp.sum(out["boxes"]) * 1e-9
 
@@ -130,6 +138,7 @@ def main():
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
         "extras": {
             "batch_size": batch_size,
+            "dtype": dtype.__name__,
             "decode_p50_ms_batch": round(decode_p50_ms, 3),
             "platform": jax.devices()[0].platform,
             "pallas_decode": use_pallas,

@@ -42,13 +42,25 @@ def _extract_norm(data_cfg: Optional[Dict]) -> tuple:
 
 
 class CenterNetPredictor:
-    """Task + weights bundle with the reference's inference API."""
+    """Task + weights bundle with the reference's inference API.
+
+    compute_dtype='bfloat16' casts weights + activations to bf16 (full MXU
+    rate on TPU, ~1.5x the f32 throughput; the decode itself stays f32).
+    """
 
     def __init__(self, task: CenterNet, variables: Dict[str, Any],
                  image_size=(512, 512),
                  mean: Sequence[float] = IMAGENET_MEAN,
-                 std: Sequence[float] = IMAGENET_STD):
+                 std: Sequence[float] = IMAGENET_STD,
+                 compute_dtype: Optional[str] = None):
         self.task = task
+        self.compute_dtype = jnp.dtype(compute_dtype) if compute_dtype else None
+        if self.compute_dtype is not None:
+            variables = jax.tree_util.tree_map(
+                lambda x: x.astype(self.compute_dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                variables,
+            )
         self.variables = variables
         self.image_size = tuple(image_size)
         self.mean = tuple(mean)
@@ -63,13 +75,21 @@ class CenterNetPredictor:
                    raw_uint8: bool):
         task, mean, std = self.task, self.mean, self.std
 
+        dtype = self.compute_dtype
+
         def fn(variables, images):
             if raw_uint8:
-                images = preprocess(images, mean=mean, std=std)
+                images = preprocess(images, mean=mean, std=std,
+                                    dtype=dtype or jnp.float32)
+            elif dtype is not None:
+                images = images.astype(dtype)
             outputs = task.model.apply(variables, images, train=False)
+            reid = outputs.get("reid")
             return task.decode_detections(
-                jax.nn.sigmoid(outputs["heatmap"]), outputs["box_2d"],
-                reid=outputs.get("reid"), normalize_boxes=normalize,
+                jax.nn.sigmoid(outputs["heatmap"].astype(jnp.float32)),
+                outputs["box_2d"].astype(jnp.float32),
+                reid=reid.astype(jnp.float32) if reid is not None else None,
+                normalize_boxes=normalize,
                 num_detections=num_detections, nms_kernel=nms_kernel,
             )
 
@@ -254,4 +274,5 @@ def build_centernet(
         variables = task.init(rng or jax.random.PRNGKey(0), image_size=image_size)
 
     return CenterNetPredictor(task, variables, image_size=image_size,
-                              mean=mean, std=std)
+                              mean=mean, std=std,
+                              compute_dtype=model_cfg.get("compute_dtype"))

@@ -6,6 +6,7 @@ from .mot import (
     idf1_score,
 )
 from .utils import (
+    voc_to_coco_annotations,
     detections_to_coco_results,
     ground_truth_to_coco_annotations,
     write_mot_results,

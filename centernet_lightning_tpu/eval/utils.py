@@ -10,9 +10,34 @@ import numpy as np
 
 __all__ = [
     "ground_truth_to_coco_annotations",
+    "voc_to_coco_annotations",
     "detections_to_coco_results",
     "write_mot_results",
 ]
+
+
+def voc_to_coco_annotations(
+    voc_dataset, save_path: Optional[str] = None
+) -> Dict:
+    """A VOCDataset -> in-memory COCO annotations dict (reference
+    eval/utils.py:47-81), enabling COCO-protocol eval on VOC data."""
+    targets = []
+    for i in range(len(voc_dataset)):
+        import os
+
+        from ..data.voc import process_voc_xml
+
+        name = voc_dataset.ids[i]
+        boxes, labels = process_voc_xml(
+            os.path.join(voc_dataset.data_dir, "Annotations", f"{name}.xml"),
+            voc_dataset.name_to_label,
+        )
+        targets.append({"boxes": boxes, "labels": labels})
+    out = ground_truth_to_coco_annotations(targets, voc_dataset.class_names)
+    if save_path:
+        with open(save_path, "w") as f:
+            json.dump(out, f)
+    return out
 
 
 def ground_truth_to_coco_annotations(

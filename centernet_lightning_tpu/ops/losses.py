@@ -36,6 +36,8 @@ __all__ = [
     "diou_loss",
     "ciou_loss",
     "reduce_loss",
+    "reid_cross_entropy_loss",
+    "reid_triplet_loss",
     "get_heatmap_loss",
     "get_box_loss",
 ]
@@ -163,6 +165,56 @@ def ciou_loss(pred: jnp.ndarray, target: jnp.ndarray, eps: float = 1e-8) -> jnp.
     alpha = v / (1.0 - iou + v + eps)
     ratio_penalty = alpha * v
     return (1.0 - iou + dist + ratio_penalty)[..., None]
+
+
+# ---------------------------------------------------------------------------
+# ReID losses (reference losses/reid_loss.py:5-43). The cross-entropy path
+# lives in FairMOT.train_forward (classifier tower is a model submodule);
+# these are the standalone functional forms for direct use.
+# ---------------------------------------------------------------------------
+
+def reid_cross_entropy_loss(
+    logits: jnp.ndarray, ids: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
+    eps: float = 1e-8,
+) -> jnp.ndarray:
+    """Masked identity cross-entropy over (M, num_ids) logits
+    (reference reid_loss.py:5-25 / fairmot.py:56-59)."""
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    ce = -jnp.take_along_axis(log_probs, ids[:, None].astype(jnp.int32), axis=-1)[:, 0]
+    if mask is None:
+        return jnp.mean(ce)
+    mask = mask.astype(ce.dtype)
+    return jnp.sum(ce * mask) / (jnp.sum(mask) + eps)
+
+
+def reid_triplet_loss(
+    embeddings: jnp.ndarray, ids: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
+    margin: float = 0.05,
+) -> jnp.ndarray:
+    """Batch-hard triplet margin loss on L2-normalized embeddings
+    (reference reid_loss.py:27-43, pytorch-metric-learning TripletMargin).
+
+    For each valid anchor: hardest positive (same id, max distance) and
+    hardest negative (different id, min distance); relu(d_pos - d_neg +
+    margin) averaged over anchors with at least one positive.
+    """
+    e = embeddings / (jnp.linalg.norm(embeddings, axis=-1, keepdims=True) + 1e-12)
+    d = jnp.sum(jnp.square(e[:, None, :] - e[None, :, :]), axis=-1)  # (M, M)
+
+    valid = jnp.ones(ids.shape[0], bool) if mask is None else mask.astype(bool)
+    same = (ids[:, None] == ids[None, :]) & valid[None, :] & valid[:, None]
+    eye = jnp.eye(ids.shape[0], dtype=bool)
+    pos_mask = same & ~eye
+    neg_mask = (~same) & valid[None, :] & valid[:, None]
+
+    big = jnp.asarray(1e9, d.dtype)
+    hardest_pos = jnp.max(jnp.where(pos_mask, d, -big), axis=1)
+    hardest_neg = jnp.min(jnp.where(neg_mask, d, big), axis=1)
+
+    has_pos = jnp.any(pos_mask, axis=1) & jnp.any(neg_mask, axis=1) & valid
+    loss = jnp.maximum(hardest_pos - hardest_neg + margin, 0.0)
+    denom = jnp.maximum(jnp.sum(has_pos), 1)
+    return jnp.sum(jnp.where(has_pos, loss, 0.0)) / denom
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,90 @@
+"""Viz utilities, ReID losses, eval converters, preprocess."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from centernet_lightning_tpu.ops.losses import (
+    reid_cross_entropy_loss,
+    reid_triplet_loss,
+)
+from centernet_lightning_tpu.ops.preprocess import preprocess
+from centernet_lightning_tpu.utils.viz import (
+    draw_boxes,
+    draw_heatmap,
+    make_image_grid,
+    render_heatmap_diagnostic,
+)
+
+
+def test_preprocess_matches_host_normalize(rng):
+    imgs = rng.integers(0, 255, size=(2, 32, 48, 3), dtype=np.uint8)
+    out = np.asarray(preprocess(jnp.asarray(imgs), mean=[0.5] * 3, std=[0.5] * 3))
+    expected = (imgs.astype(np.float32) / 255.0 - 0.5) / 0.5
+    np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-5)
+    # with resize
+    out = preprocess(jnp.asarray(imgs), size=(64, 64))
+    assert out.shape == (2, 64, 64, 3)
+
+
+def test_reid_cross_entropy_masked():
+    logits = jnp.asarray([[10.0, 0, 0], [0, 10.0, 0], [0, 0, 10.0]])
+    ids = jnp.asarray([0, 1, 0])
+    # correct predictions with mask excluding the wrong one
+    mask = jnp.asarray([1.0, 1.0, 0.0])
+    loss = float(reid_cross_entropy_loss(logits, ids, mask))
+    assert loss < 0.01
+    loss_all = float(reid_cross_entropy_loss(logits, ids))
+    assert loss_all > 1.0  # the wrong third sample dominates
+
+
+def test_reid_triplet_loss_orders_embeddings():
+    # two identities, well separated -> ~0 loss
+    e = jnp.asarray([[1.0, 0], [0.99, 0.1], [0, 1.0], [0.1, 0.99]])
+    ids = jnp.asarray([0, 0, 1, 1])
+    assert float(reid_triplet_loss(e, ids, margin=0.05)) == pytest.approx(0, abs=1e-5)
+    # identities mixed together -> positive loss
+    e_bad = jnp.asarray([[1.0, 0], [0, 1.0], [1.0, 0.01], [0, 0.99]])
+    ids_bad = jnp.asarray([0, 0, 1, 1])
+    assert float(reid_triplet_loss(e_bad, ids_bad, margin=0.05)) > 0.1
+
+
+def test_draw_and_grid(rng):
+    img = rng.integers(0, 255, size=(64, 80, 3), dtype=np.uint8)
+    out = draw_boxes(img, [[10, 10, 40, 40]], labels=[1], scores=[0.9],
+                     class_names=["a", "b"])
+    assert out.shape == img.shape and out.dtype == np.uint8
+    assert not np.array_equal(out, img)  # something was drawn
+
+    hm = rng.uniform(size=(16, 20, 3)).astype(np.float32)
+    over = draw_heatmap(img, hm)
+    assert over.shape == img.shape
+
+    grid = make_image_grid([img, img, img], ncols=2)
+    assert grid.shape[0] > 64 and grid.shape[1] > 80
+
+    diag = render_heatmap_diagnostic(img[None], hm[None])
+    assert diag.ndim == 3
+
+
+def test_voc_to_coco_annotations(tmp_path):
+    import cv2
+
+    from centernet_lightning_tpu.data.voc import VOCDataset
+    from centernet_lightning_tpu.eval.utils import voc_to_coco_annotations
+
+    (tmp_path / "JPEGImages").mkdir()
+    (tmp_path / "Annotations").mkdir()
+    (tmp_path / "ImageSets" / "Main").mkdir(parents=True)
+    cv2.imwrite(str(tmp_path / "JPEGImages" / "x.jpg"), np.zeros((50, 60, 3), np.uint8))
+    (tmp_path / "Annotations" / "x.xml").write_text(
+        "<annotation><size><width>60</width><height>50</height></size>"
+        "<object><name>person</name><bndbox><xmin>5</xmin><ymin>5</ymin>"
+        "<xmax>25</xmax><ymax>30</ymax></bndbox></object></annotation>"
+    )
+    (tmp_path / "ImageSets" / "Main" / "train.txt").write_text("x\n")
+    ds = VOCDataset(str(tmp_path), split="train")
+    coco = voc_to_coco_annotations(ds)
+    assert len(coco["images"]) == 1
+    assert len(coco["annotations"]) == 1
+    ann = coco["annotations"][0]
+    assert ann["bbox"] == [5.0, 5.0, 20.0, 25.0]
