@@ -134,8 +134,9 @@ class CenterNet:
         reference centernet.py:123-175 semantics.
         """
         stride = stride or self.stride
-        heatmap = outputs["heatmap"]
-        box_offsets = outputs["box_2d"]
+        # losses always in f32, independent of the forward compute dtype
+        heatmap = outputs["heatmap"].astype(jnp.float32)
+        box_offsets = outputs["box_2d"].astype(jnp.float32)
         n, out_h, out_w, _ = heatmap.shape
 
         boxes = targets["boxes"].astype(jnp.float32)

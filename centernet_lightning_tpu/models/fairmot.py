@@ -65,7 +65,7 @@ class FairMOT(CenterNet):
         # identity cross-entropy, masked over padding (fairmot.py:56-59)
         ids = batch["ids"].reshape(-1).astype(jnp.int32)
         mask = batch["mask"].reshape(-1).astype(jnp.float32)
-        log_probs = jax.nn.log_softmax(logits, axis=-1)
+        log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         ce = -jnp.take_along_axis(log_probs, ids[:, None], axis=-1)[:, 0]
         reid_loss = jnp.sum(ce * mask) / (jnp.sum(mask) + 1e-8)
 

@@ -43,6 +43,20 @@ class GenericModel(nn.Module):
         assert self.classifier is not None
         return self.classifier(embeddings, train)
 
+    def multilevel_forward(self, x, train: bool = False):
+        """Run every head on every neck pyramid level (reference
+        meta.py:49-55; unused by CenterNet but part of the assembly
+        contract). Requires a neck supporting return_pyramid (FPN/BiFPN)."""
+        features = self.backbone(x, train)
+        if self.extra_block is not None:
+            features = list(features)
+            features[-1] = self.extra_block(features[-1], train)
+        pyramid = self.neck(features, train, return_pyramid=True)
+        return [
+            {name: head(level, train) for name, head in self.heads}
+            for level in pyramid
+        ]
+
     def forward_with_classifier(self, x, indices, train: bool = True):
         """Forward + ReID-embedding gather at flat indices + identity logits,
         in ONE apply so batch_stats from the backbone and the classifier

@@ -50,13 +50,21 @@ def create_train_state(task, tx, rng=None, image_size=(512, 512)) -> TrainState:
     )
 
 
-def make_train_step(task, donate: bool = True) -> Callable:
+def make_train_step(task, donate: bool = True,
+                    compute_dtype: Optional[Any] = None) -> Callable:
     """Build the jitted train step.
 
     Delegates the forward+loss to `task.train_forward(variables, batch)`
     when defined (FairMOT adds the ReID objective there, keeping one apply
     and one batch_stats mutation); plain CenterNet uses the default below.
+
+    compute_dtype='bfloat16' runs the forward/backward matmuls in bf16
+    while master params, gradients and the optimizer stay f32 (the cast is
+    differentiable, so jax.grad returns f32 grads; bf16 has f32's exponent
+    range, so no loss scaling is needed — replaces the reference's fp16 AMP
+    `precision: 16`, configs/centernet.yaml:90).
     """
+    compute_dtype = jnp.dtype(compute_dtype) if compute_dtype else None
 
     def default_train_forward(variables, batch):
         outputs, mutated = task.model.apply(
@@ -67,10 +75,25 @@ def make_train_step(task, donate: bool = True) -> Callable:
 
     train_forward = getattr(task, "train_forward", None) or default_train_forward
 
+    def cast_float(tree, dtype):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(dtype)
+            if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
+            tree,
+        )
+
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         def loss_fn(params):
+            if compute_dtype is not None:
+                params = cast_float(params, compute_dtype)
+                fwd_batch = dict(batch, image=batch["image"].astype(compute_dtype))
+            else:
+                fwd_batch = batch
             variables = {"params": params, "batch_stats": state.batch_stats}
-            losses, new_bs = train_forward(variables, batch)
+            losses, new_bs = train_forward(variables, fwd_batch)
+            if compute_dtype is not None:
+                losses = cast_float(losses, jnp.float32)
+                new_bs = cast_float(new_bs, jnp.float32)
             return losses["total"], (losses, new_bs)
 
         grads, (losses, new_bs) = jax.grad(loss_fn, has_aux=True)(state.params)

@@ -52,6 +52,8 @@ class Trainer:
         profile: bool = False,
         log_every: int = 50,
         tracker_config: Optional[Dict[str, Any]] = None,
+        precision: Optional[str] = None,   # 'bf16'/'bfloat16'/16 -> bf16 fwd/bwd
+        diagnostics: bool = True,          # heatmap-grid image at fit start
     ):
         self.task = task
         self.train_loader = train_loader
@@ -99,9 +101,13 @@ class Trainer:
             step=jax.device_put(self.state.step, rep),
         )
 
-        self.train_step = make_train_step(task)
+        compute_dtype = (
+            "bfloat16" if str(precision) in ("16", "bf16", "bfloat16") else None
+        )
+        self.train_step = make_train_step(task, compute_dtype=compute_dtype)
         self.eval_step = make_eval_step(task)
         self.best_metric = -np.inf if monitor_mode == "max" else np.inf
+        self.diagnostics = diagnostics
 
     # ------------------------------------------------------------------
 
@@ -151,6 +157,30 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
+    def _log_heatmap_diagnostic(self, batch):
+        """Target-heatmap grid at fit start (the DiagnoseCenterNetLogger's
+        core, SURVEY.md §5.5)."""
+        try:
+            import jax.numpy as jnp2
+
+            from ..ops.targets import render_heatmap
+            from ..utils.viz import render_heatmap_diagnostic
+
+            img = np.asarray(batch["image"][:4])
+            h, w = img.shape[1:3]
+            hm = np.asarray(render_heatmap(
+                jnp2.asarray(batch["boxes"][:4]),
+                jnp2.asarray(batch["labels"][:4]).astype(jnp2.int32),
+                jnp2.asarray(batch["mask"][:4]),
+                self.task.num_classes, h // self.task.stride,
+                w // self.task.stride, self.task.stride,
+                self.task._radius_fn,
+            ))
+            grid = render_heatmap_diagnostic(img, hm)
+            self.logger.log_image("diagnostics/target_heatmap", grid, 0)
+        except Exception:
+            pass  # diagnostics must never break training
+
     def fit(self):
         if jax.process_index() == 0:
             print(param_count_report({"params": jax.device_get(self.state.params)}))
@@ -158,10 +188,14 @@ class Trainer:
         if self.profile and jax.process_index() == 0:
             jax.profiler.start_trace(os.path.join(self.ckpt_dir or ".", "profile"))
 
+        first_batch_logged = not self.diagnostics
         for epoch in range(self.start_epoch, self.max_epochs):
             t0 = time.time()
             n_imgs = 0
             for batch in self.train_loader:
+                if not first_batch_logged and jax.process_index() == 0:
+                    self._log_heatmap_diagnostic(batch)
+                    first_batch_logged = True
                 sharded = self._shard(batch)
                 n_imgs += batch["image"].shape[0]
                 self.state, losses = self.train_step(self.state, sharded)

@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Standalone COCO validation of a checkpoint — the reference's
+`Trainer.validate` path as a CLI (useful for checkpoint-parity checks).
+
+    python tools/validate.py --checkpoint runs/coco/checkpoints \
+        --img-dir .../val2017 --ann-json .../instances_val2017.json
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--checkpoint", required=True)
+    parser.add_argument("--config", default=None)
+    parser.add_argument("--img-dir", required=True)
+    parser.add_argument("--ann-json", required=True)
+    parser.add_argument("--batch-size", type=int, default=16)
+    parser.add_argument("--image-size", type=int, default=512)
+    parser.add_argument("--num-detections", type=int, default=100)
+    args = parser.parse_args()
+
+    import jax.numpy as jnp
+
+    from centernet_lightning_tpu import build_centernet
+    from centernet_lightning_tpu.data import (
+        CocoDetection, build_dataloader, build_transforms,
+    )
+    from centernet_lightning_tpu.eval import CocoEvaluator
+    from centernet_lightning_tpu.utils.box_np import convert_box_format
+
+    predictor = build_centernet(
+        args.config or args.checkpoint,
+        checkpoint=args.checkpoint if args.config else None,
+    )
+    tf = build_transforms([
+        {"name": "Resize", "init_args": {"height": args.image_size,
+                                         "width": args.image_size}},
+        {"name": "Normalize", "init_args": {"mean": list(predictor.mean),
+                                            "std": list(predictor.std)}},
+    ])
+    ds = CocoDetection(args.img_dir, args.ann_json, transforms=tf)
+    loader = build_dataloader(ds, batch_size=args.batch_size, shuffle=False,
+                              num_workers=4, max_boxes=128, drop_last=False)
+
+    evaluator = CocoEvaluator(predictor.task.num_classes)
+    for batch in loader:
+        dets = predictor.gather_detection2d(
+            jnp.asarray(batch["image"]), num_detections=args.num_detections
+        )
+        n = batch["image"].shape[0]
+        boxes_xywh = convert_box_format(dets["bboxes"], "xyxy", "xywh")
+        preds = [{"boxes": boxes_xywh[i], "scores": dets["scores"][i],
+                  "labels": dets["labels"][i]} for i in range(n)]
+        targets = []
+        for i in range(n):
+            m = batch["mask"][i].astype(bool)
+            targets.append({"boxes": batch["boxes"][i][m],
+                            "labels": batch["labels"][i][m]})
+        evaluator.update(preds, targets)
+
+    metrics = evaluator.get_metrics()
+    print(json.dumps({k: round(float(v), 4) for k, v in metrics.items()}))
+
+
+if __name__ == "__main__":
+    main()

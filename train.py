@@ -88,6 +88,7 @@ def main():
         resume=not args.no_resume,
         profile=args.profile,
         tracker_config=config.get("tracker", {}),
+        precision=trainer_cfg.get("precision"),
     )
     trainer.fit()
 
