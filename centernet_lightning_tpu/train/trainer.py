@@ -70,7 +70,18 @@ class Trainer:
         self.log_every = log_every
         self.tracker_config = tracker_config or {}
 
-        self.mesh = create_mesh()
+        # data-axis size must divide the global batch; clamp to the largest
+        # divisor of the train batch size (all devices when it divides)
+        n_dev = len(jax.devices())
+        batch_size = getattr(train_loader, "batch_size", None)
+        if batch_size:
+            n_data = n_dev
+            while n_data > 1 and batch_size % n_data != 0:
+                n_data -= 1
+        else:
+            n_data = n_dev
+        self.mesh = create_mesh(n_data=n_data, n_model=1,
+                                devices=jax.devices()[:n_data])
         self.logger = MetricLogger(log_dir)
 
         opt_cfg = dict(optimizer_config or task.optimizer_config or {})
@@ -149,7 +160,12 @@ class Trainer:
                         step=int(self.state.step))
 
     def _shard(self, batch):
-        sharding = batch_sharding(self.mesh)
+        n = batch["image"].shape[0]
+        if n % self.mesh.shape["data"] == 0:
+            sharding = batch_sharding(self.mesh)
+        else:
+            # ragged final eval batch: run replicated on the first device
+            sharding = jax.devices()[0]
         return {
             k: jax.device_put(jnp.asarray(v), sharding)
             for k, v in batch.items() if k != "image_id"

@@ -241,7 +241,7 @@ def test_dataloader_and_builder(coco_dir):
     for b in batches:
         assert b["image"].shape == (2, 64, 64, 3)
         assert b["boxes"].shape == (2, 16, 4)
-        assert set(b) >= {"image", "bboxes", "labels", "mask"}
+        assert set(b) >= {"image", "boxes", "labels", "mask"}
 
 
 def test_detection_for_tracking_unique_ids(coco_dir):
