@@ -6,4 +6,5 @@ from .mesh import (
     replicated,
     shard_batch,
     shard_params,
+    spatial_sharding,
 )

@@ -22,6 +22,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = [
     "create_mesh",
     "batch_sharding",
+    "spatial_sharding",
     "replicated",
     "shard_batch",
     "shard_params",
@@ -44,6 +45,16 @@ def create_mesh(
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading (batch) dim sharded over 'data'."""
     return NamedSharding(mesh, P("data"))
+
+
+def spatial_sharding(mesh: Mesh, axis: str = "model") -> NamedSharding:
+    """NHWC images sharded over batch ('data') AND height (`axis`) — the
+    CV analog of sequence/context parallelism (SURVEY.md §5.7): for inputs
+    too large for one chip, the H axis splits across the mesh and the XLA
+    SPMD partitioner inserts the halo exchanges every spatial conv /
+    pooling window needs. No manual ppermute ring is required — GSPMD's
+    convolution spatial partitioning handles the overlap regions."""
+    return NamedSharding(mesh, P("data", axis))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

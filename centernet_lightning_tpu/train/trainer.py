@@ -156,8 +156,13 @@ class Trainer:
             "step": int(self.state.step),
             "epoch": epoch,
         }
-        save_checkpoint(self.ckpt_dir, tree, hparams=self.task.hparams,
-                        step=int(self.state.step))
+        # best checkpoints go to a tagged subdir (ModelCheckpoint monitor
+        # semantics, reference configs/centernet.yaml:103-106); untagged
+        # saves are the rolling `save_last` chain
+        ckpt_dir = os.path.join(self.ckpt_dir, tag) if tag else self.ckpt_dir
+        save_checkpoint(ckpt_dir, tree, hparams=self.task.hparams,
+                        step=int(self.state.step),
+                        keep_last=1 if tag else 3)
 
     def _shard(self, batch):
         n = batch["image"].shape[0]
