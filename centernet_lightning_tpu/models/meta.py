@@ -26,7 +26,7 @@ class GenericModel(nn.Module):
 
     backbone: nn.Module
     neck: nn.Module
-    heads: Tuple[Tuple[str, nn.Module], ...]
+    heads: Dict[str, nn.Module]
     extra_block: Optional[nn.Module] = None
     classifier: Optional[nn.Module] = None   # FairMOT train-only ReID classifier
 
@@ -36,7 +36,7 @@ class GenericModel(nn.Module):
             features = list(features)
             features[-1] = self.extra_block(features[-1], train)
         out = self.neck(features, train)
-        return {name: head(out, train) for name, head in self.heads}
+        return {name: head(out, train) for name, head in self.heads.items()}
 
     def classify_embeddings(self, embeddings, train: bool = True):
         """ReID identity logits for FairMOT training (fairmot.py:55-57)."""
@@ -53,7 +53,7 @@ class GenericModel(nn.Module):
             features[-1] = self.extra_block(features[-1], train)
         pyramid = self.neck(features, train, return_pyramid=True)
         return [
-            {name: head(level, train) for name, head in self.heads}
+            {name: head(level, train) for name, head in self.heads.items()}
             for level in pyramid
         ]
 
@@ -99,16 +99,16 @@ def create_model(
     nk = build_neck(neck, bb.out_channels, **neck_config)
     stride = bb.stride // nk.stride
 
-    heads = [
-        ("heatmap", GenericHead(
+    heads = {
+        "heatmap": GenericHead(
             out_channels=num_classes,
             init_bias=math.log(heatmap_prior / (1 - heatmap_prior)),
-            name="head_heatmap", **head_config,
-        )),
-        ("box_2d", GenericHead(
-            out_channels=4, init_bias=box_init_bias, name="head_box_2d", **head_config,
-        )),
-    ]
+            **head_config,
+        ),
+        "box_2d": GenericHead(
+            out_channels=4, init_bias=box_init_bias, **head_config,
+        ),
+    }
 
     classifier = None
     if reid_config is not None:
@@ -118,16 +118,14 @@ def create_model(
         rc.setdefault("width", 256)
         rc.setdefault("depth", 1)
         rc.pop("loss_weight", None)
-        heads.append(("reid", GenericHead(
-            out_channels=emb_dim, name="head_reid", **rc,
-        )))
-        classifier = ReIDClassifier(max_track_ids, name="reid_classifier")
+        heads["reid"] = GenericHead(out_channels=emb_dim, **rc)
+        classifier = ReIDClassifier(max_track_ids)
 
     for name, cfg in (extra_heads or {}).items():
-        heads.append((name, GenericHead(name=f"head_{name}", **{**head_config, **cfg})))
+        heads[name] = GenericHead(**{**head_config, **cfg})
 
     model = GenericModel(
-        backbone=bb, neck=nk, heads=tuple(heads),
+        backbone=bb, neck=nk, heads=heads,
         extra_block=extra_block, classifier=classifier,
     )
     return model, stride
