@@ -172,6 +172,7 @@ class CenterNetPredictor:
     def inference_tracking(self, img_dir: str, batch_size: int = 4,
                            save_dir: Optional[str] = None,
                            save_results: bool = False,
+                           save_images: bool = False,
                            tracker_config: Optional[Dict] = None,
                            **tracker_kwargs) -> Dict[str, list]:
         """Track a folder of frames (the reference's commented-out
@@ -192,12 +193,16 @@ class CenterNetPredictor:
         tracker = Tracker(model=model_fn, **cfg)
         ds = InferenceDataset(img_dir, resize=self.image_size)
         out = {"bboxes": [], "track_ids": []}
-        results_path = None
-        if save_dir is not None and save_results:
+        results_path = images_dir = None
+        if save_dir is not None:
             os.makedirs(save_dir, exist_ok=True)
-            results_path = os.path.join(save_dir, "tracking_results.txt")
-            if os.path.exists(results_path):
-                os.remove(results_path)
+            if save_results:
+                results_path = os.path.join(save_dir, "tracking_results.txt")
+                if os.path.exists(results_path):
+                    os.remove(results_path)
+            if save_images:
+                images_dir = os.path.join(save_dir, "images")
+                os.makedirs(images_dir, exist_ok=True)
 
         frame = 0
         for start in range(0, len(ds), batch_size):
@@ -222,6 +227,20 @@ class CenterNetPredictor:
                         img_width=item["original_width"],
                         img_height=item["original_height"],
                         start_frame=frame + i,
+                    )
+            if images_dir:
+                import cv2
+
+                from .utils.viz import draw_boxes
+
+                for i, item in enumerate(items):
+                    annotated = draw_boxes(
+                        item["image"], step_out["bboxes"][i],
+                        labels=step_out["track_ids"][i], normalized_boxes=True,
+                    )
+                    cv2.imwrite(
+                        os.path.join(images_dir, f"{frame + i:06d}.jpg"),
+                        cv2.cvtColor(annotated, cv2.COLOR_RGB2BGR),
                     )
             frame += n
         return out

@@ -186,6 +186,14 @@ def _bilinear_kernel(k: int, channels: int) -> np.ndarray:
     return kernel
 
 
+def _nearest_upsample_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """x2 nearest upsample as broadcast+reshape — a pure layout op XLA can
+    fuse, instead of jax.image.resize's gather formulation."""
+    n, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
+    return x.reshape(n, h * 2, w * 2, c)
+
+
 class Upsample(nn.Module):
     """x2 upsample: conv_transpose (bilinear init) / nearest / bilinear.
 
@@ -207,9 +215,10 @@ class Upsample(nn.Module):
             )(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
             return nn.relu(x)
+        if self.method == "nearest":
+            return _nearest_upsample_2x(x)
         n, h, w, c = x.shape
-        method = "nearest" if self.method == "nearest" else "bilinear"
-        return jax.image.resize(x, (n, h * 2, w * 2, c), method=method)
+        return jax.image.resize(x, (n, h * 2, w * 2, c), method="bilinear")
 
 
 class Downsample(nn.Module):
@@ -255,8 +264,12 @@ class Fuse(nn.Module):
             if f.shape[1:3] != target_hw:
                 n, _, _, c = f.shape
                 if f.shape[1] < target_hw[0]:
-                    method = "nearest" if self.upsample == "nearest" else "bilinear"
-                    f = jax.image.resize(f, (n, *target_hw, c), method=method)
+                    if self.upsample == "nearest" and target_hw[0] == 2 * f.shape[1] \
+                       and target_hw[1] == 2 * f.shape[2]:
+                        f = _nearest_upsample_2x(f)
+                    else:
+                        method = "nearest" if self.upsample == "nearest" else "bilinear"
+                        f = jax.image.resize(f, (n, *target_hw, c), method=method)
                 else:
                     f = jax.lax.reduce_window(
                         f, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "SAME"

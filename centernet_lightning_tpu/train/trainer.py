@@ -250,13 +250,37 @@ class Trainer:
             return self.validate_tracking()
         return self.validate_detection()
 
+    def _log_prediction_diagnostic(self, batch, dets, step: int):
+        """Prediction-overlay grid per validation (DiagnoseCenterNetLogger's
+        per-epoch box grids, reference image_annotate.py:169-264)."""
+        try:
+            from ..utils.viz import draw_boxes, make_image_grid
+
+            tiles = []
+            for i in range(min(4, batch["image"].shape[0])):
+                keep = dets["scores"][i] >= 0.3
+                tiles.append(draw_boxes(
+                    np.asarray(batch["image"][i]),
+                    np.asarray(dets["boxes"][i])[keep],
+                    labels=np.asarray(dets["labels"][i])[keep],
+                    scores=np.asarray(dets["scores"][i])[keep],
+                ))
+            self.logger.log_image("diagnostics/val_predictions",
+                                  make_image_grid(tiles, ncols=2), step)
+        except Exception:
+            pass
+
     def validate_detection(self) -> Dict[str, float]:
         """COCO validation epoch (reference centernet.py:202-218)."""
         evaluator = CocoEvaluator(self.task.num_classes)
+        logged = not self.diagnostics
         for batch in self.val_loader:
             sharded = self._shard(batch)
             dets = self.eval_step(self.state, sharded)
             dets = jax.device_get(dets)
+            if not logged and jax.process_index() == 0:
+                self._log_prediction_diagnostic(batch, dets, int(self.state.step))
+                logged = True
             boxes_xywh = convert_box_format(dets["boxes"], "xyxy", "xywh")
             n = batch["image"].shape[0]
             preds = [

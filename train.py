@@ -27,7 +27,15 @@ def main():
     parser.add_argument("--profile", action="store_true",
                         help="capture a jax.profiler trace of the first epoch")
     parser.add_argument("--no-resume", action="store_true")
+    parser.add_argument("--multihost", action="store_true",
+                        help="call jax.distributed.initialize() for multi-host "
+                             "TPU pods (coordinator from env/TPU metadata)")
     args = parser.parse_args()
+
+    if args.multihost:
+        import jax
+
+        jax.distributed.initialize()
 
     config = normalize_config(load_config(args.config))
     model_cfg = dict(config["model"])
