@@ -343,6 +343,23 @@ class Compose:
         return _filter_boxes(sample, min_area=self.min_area, min_side=0.0)
 
 
+def get_default_transforms(resize_height: int = 512, resize_width: int = 512,
+                           seed: Optional[int] = None) -> "Compose":
+    """ImageNet normalize + resize (reference datasets/utils.py:12-21)."""
+    return Compose([Normalize(), Resize(resize_height, resize_width)], seed=seed)
+
+
+def get_default_detection_transforms(seed: Optional[int] = None) -> "Compose":
+    """512x512 detection default (reference datasets/utils.py:23-27)."""
+    return get_default_transforms(512, 512, seed=seed)
+
+
+def get_default_tracking_transforms(seed: Optional[int] = None) -> "Compose":
+    """1088x608 tracking default — close to 16:9 and divisible by 32
+    (reference datasets/utils.py:29-33)."""
+    return get_default_transforms(608, 1088, seed=seed)
+
+
 TRANSFORMS = {
     cls.__name__: cls
     for cls in (

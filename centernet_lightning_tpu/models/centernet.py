@@ -214,6 +214,22 @@ class CenterNet:
     # alias matching the reference/README naming
     gather_detection2d = forward_and_decode
 
+    def get_dataloader(self, train: bool = True):
+        """Build the train/val dataloader from the task's data hparams
+        (reference centernet.py:220-227)."""
+        from ..data.builder import build_dataloader, build_dataset
+
+        config = dict((self.train_data if train else self.val_data) or {})
+        if not config:
+            raise ValueError("no train_data/val_data configured")
+        config.setdefault("type", "coco")
+        loader_keys = {"batch_size", "num_workers", "shuffle", "max_boxes",
+                       "drop_last", "pin_memory"}
+        loader_cfg = {k: config.pop(k) for k in list(config) if k in loader_keys}
+        loader_cfg.pop("pin_memory", None)
+        ds = build_dataset(config, seed=0 if train else 1)
+        return build_dataloader(ds, shuffle=train, **loader_cfg)
+
     @property
     def hparams(self) -> Dict[str, Any]:
         out = {

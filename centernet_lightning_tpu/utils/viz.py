@@ -20,6 +20,7 @@ __all__ = [
     "apply_mpl_cmap",
     "make_image_grid",
     "render_heatmap_diagnostic",
+    "convert_bboxes_to_wandb",
 ]
 
 _COLORS = np.array([
@@ -116,6 +117,37 @@ def make_image_grid(images: Sequence[np.ndarray], ncols: int = 4,
         grid[r * (h + pad): r * (h + pad) + img.shape[0],
              c * (w + pad): c * (w + pad) + img.shape[1]] = img
     return grid
+
+
+def convert_bboxes_to_wandb(
+    boxes, labels=None, scores=None,
+    class_names: Optional[Sequence[str]] = None,
+    normalized_boxes: bool = True,
+) -> dict:
+    """xyxy boxes -> the W&B bounding-box overlay schema (reference
+    utils/image_annotate.py:315-338). Pure dict construction; pass the
+    result as wandb.Image(img, boxes={'predictions': <this>}) when a W&B
+    run is active — the wandb package itself is not required here."""
+    box_data = []
+    boxes = np.asarray(boxes, float).reshape(-1, 4)
+    for i, (x1, y1, x2, y2) in enumerate(boxes):
+        entry = {
+            "position": {"minX": float(x1), "minY": float(y1),
+                         "maxX": float(x2), "maxY": float(y2)},
+            "domain": "pixel" if not normalized_boxes else None,
+            "class_id": int(labels[i]) if labels is not None else 0,
+        }
+        if entry["domain"] is None:
+            entry.pop("domain")
+        if scores is not None:
+            entry["scores"] = {"confidence": float(scores[i])}
+        if class_names is not None and labels is not None:
+            entry["box_caption"] = class_names[int(labels[i])]
+        box_data.append(entry)
+    out = {"box_data": box_data}
+    if class_names is not None:
+        out["class_labels"] = {i: n for i, n in enumerate(class_names)}
+    return out
 
 
 def render_heatmap_diagnostic(images: np.ndarray, target_heatmaps: np.ndarray,
