@@ -69,49 +69,52 @@ class COCOProtocolEval:
             "large": (96.0 ** 2, 1e10),
         }
 
-    def _evaluate_img(self, det_boxes, det_scores, gt_boxes, area_rng, max_det):
-        """One (image, category, areaRng, maxDet) cell.
+    def _evaluate_img(self, det_boxes, det_scores, gt_boxes, area_rng, max_det,
+                      ious=None):
+        """One (image, category, areaRng) cell at the LARGEST maxDet;
+        smaller maxDets are column slices in accumulation (pycocotools
+        computes matches once with maxDets[-1] and truncates).
 
         Returns (dt_scores, dt_matched, dt_ignore, npig) arrays over the
-        IoU-threshold axis T.
+        IoU-threshold axis T. `ious` may be precomputed for (det_boxes
+        sorted by score, gt_boxes) to share across area ranges.
         """
         T = len(self.iou_thrs)
         gt_area = gt_boxes[:, 2] * gt_boxes[:, 3] if len(gt_boxes) else np.zeros(0)
         gt_ig = (gt_area < area_rng[0]) | (gt_area > area_rng[1])
-
-        # gts sorted: non-ignored first (pycocotools gtind sort)
-        gt_order = np.argsort(gt_ig, kind="mergesort")
-        gt_boxes = gt_boxes[gt_order]
-        gt_ig = gt_ig[gt_order]
 
         dt_order = np.argsort(-det_scores, kind="mergesort")[:max_det]
         det_boxes = det_boxes[dt_order]
         det_scores = det_scores[dt_order]
 
         D, G = len(det_boxes), len(gt_boxes)
-        ious = box_iou_xywh(det_boxes, gt_boxes)
+        if ious is None:
+            ious = box_iou_xywh(det_boxes, gt_boxes)
+        else:
+            ious = ious[:max_det]
 
+        # Greedy matching, vectorized over GTs per det. pycocotools semantics:
+        # dets in score order each take the highest-IoU unmatched GT >= thr,
+        # preferring ANY real GT over ignored ones (gts sorted real-first,
+        # iteration breaks before ignored once a real match exists); argmax
+        # first-occurrence reproduces the strict-> tie-break.
         dtm = np.zeros((T, D), np.int64)       # matched gt index + 1; 0 = none
-        gtm = np.zeros((T, G), np.int64)
+        gt_real = ~gt_ig
         for t, thr in enumerate(self.iou_thrs):
+            thr_eff = min(thr, 1 - 1e-10)
+            taken = np.zeros(G, bool)
             for dind in range(D):
-                best_iou = min(thr, 1 - 1e-10)
-                m = -1
-                for gind in range(G):
-                    if gtm[t, gind] > 0:
-                        continue
-                    # gts are sorted ignored-last: once the current best is a
-                    # real gt, an ignored one can't improve the match
-                    if m > -1 and not gt_ig[m] and gt_ig[gind]:
-                        break
-                    if ious[dind, gind] < best_iou:
-                        continue
-                    best_iou = ious[dind, gind]
-                    m = gind
-                if m == -1:
+                row = ious[dind]
+                ok = ~taken & (row >= thr_eff)
+                real = ok & gt_real
+                if real.any():
+                    m = int(np.argmax(np.where(real, row, -1.0)))
+                elif ok.any():
+                    m = int(np.argmax(np.where(ok, row, -1.0)))
+                else:
                     continue
                 dtm[t, dind] = m + 1
-                gtm[t, m] = dind + 1
+                taken[m] = True
 
         dt_area = det_boxes[:, 2] * det_boxes[:, 3] if D else np.zeros(0)
         dt_out = (dt_area < area_rng[0]) | (dt_area > area_rng[1])
@@ -134,41 +137,44 @@ class COCOProtocolEval:
         K = self.num_classes
         A = len(self.area_rngs)
         M = len(self.max_dets)
-        max_det_all = max(self.max_dets)
 
         # per-class grouping
         precision = -np.ones((T, R, K, A, M))
         recall = -np.ones((T, K, A, M))
 
+        max_det_all = max(self.max_dets)
         for k in range(K):
             per_img = []
             for pred, gt in zip(preds, targets):
                 p_sel = np.asarray(pred["labels"]) == k
                 g_sel = np.asarray(gt["labels"]) == k
-                per_img.append((
-                    np.asarray(pred["boxes"], np.float64).reshape(-1, 4)[p_sel],
-                    np.asarray(pred["scores"], np.float64).reshape(-1)[p_sel],
-                    np.asarray(gt["boxes"], np.float64).reshape(-1, 4)[g_sel],
-                ))
+                det_boxes = np.asarray(pred["boxes"], np.float64).reshape(-1, 4)[p_sel]
+                det_scores = np.asarray(pred["scores"], np.float64).reshape(-1)[p_sel]
+                gt_boxes = np.asarray(gt["boxes"], np.float64).reshape(-1, 4)[g_sel]
+                if len(det_boxes) == 0 and len(gt_boxes) == 0:
+                    continue
+                # IoU computed once per (image, category) on score-sorted
+                # dets, shared across area ranges (pycocotools computeIoU)
+                order = np.argsort(-det_scores, kind="mergesort")[:max_det_all]
+                ious = box_iou_xywh(det_boxes[order], gt_boxes)
+                per_img.append((det_boxes, det_scores, gt_boxes, ious))
 
             for a, (aname, rng) in enumerate(self.area_rngs.items()):
+                # match once at the largest maxDet; per-maxDet views below
+                cells = [
+                    self._evaluate_img(db, ds, gb, rng, max_det_all, ious=iou)
+                    for db, ds, gb, iou in per_img
+                ]
+                npig = sum(c[3] for c in cells)
+                if npig == 0:
+                    continue
                 for m, max_det in enumerate(self.max_dets):
-                    scores_all, tps_all, ig_all = [], [], []
-                    npig = 0
-                    for det_boxes, det_scores, gt_boxes in per_img:
-                        s, tp, ig, n = self._evaluate_img(
-                            det_boxes, det_scores, gt_boxes, rng, max_det
-                        )
-                        scores_all.append(s)
-                        tps_all.append(tp)
-                        ig_all.append(ig)
-                        npig += n
-                    if npig == 0:
-                        continue
-                    scores = np.concatenate(scores_all)
+                    scores = np.concatenate([c[0][:max_det] for c in cells])
                     order = np.argsort(-scores, kind="mergesort")
-                    tps = np.concatenate(tps_all, axis=1)[:, order]
-                    igs = np.concatenate(ig_all, axis=1)[:, order]
+                    tps = np.concatenate([c[1][:, :max_det] for c in cells],
+                                         axis=1)[:, order]
+                    igs = np.concatenate([c[2][:, :max_det] for c in cells],
+                                         axis=1)[:, order]
 
                     tp_c = np.cumsum(tps & ~igs, axis=1).astype(np.float64)
                     fp_c = np.cumsum(~tps & ~igs, axis=1).astype(np.float64)
