@@ -7,6 +7,7 @@ from .detection_for_tracking import DetectionForTracking
 from .inference import InferenceDataset
 from .kitti import KITTITrackingDataset, KITTITrackingSequence
 from .loader import DataLoader
+from .mosaic import MosaicDataset
 from .mot import MOTTrackingDataset, MOTTrackingSequence
 from .transforms import Compose, build_transforms
 from .voc import VOCDataset

@@ -33,16 +33,43 @@ parse_transforms = build_transforms  # reference naming (builder.py:46)
 
 
 def build_dataset(config: Dict[str, Any], seed: Optional[int] = None):
-    """config: {type, transforms?, detection_for_tracking?, **dataset kwargs}."""
+    """config: {type, transforms?, detection_for_tracking?, mosaic?,
+    **dataset kwargs}.
+
+    `mosaic: {height, width, p}` wraps the dataset in MosaicDataset; any
+    Normalize entry (and everything after it) in `transforms` moves to the
+    post-mosaic pipeline so the canvas composes on uint8 images.
+    """
+    from .mosaic import MosaicDataset
+
     config = dict(config)
     ds_type = config.pop("type")
-    transforms_cfg = config.pop("transforms", None)
+    transforms_cfg = list(config.pop("transforms", None) or [])
     wrap_tracking = config.pop("detection_for_tracking", False)
+    mosaic_cfg = config.pop("mosaic", None)
+
+    post_cfg = []
+    if mosaic_cfg:
+        for i, t in enumerate(transforms_cfg):
+            if t.get("name") == "Normalize":
+                post_cfg = transforms_cfg[i:]
+                transforms_cfg = transforms_cfg[:i]
+                break
 
     transforms = build_transforms(transforms_cfg, seed=seed) if transforms_cfg else None
     ds = DATASETS[ds_type](transforms=transforms, **config)
     if wrap_tracking:
         ds = DetectionForTracking(ds)
+    if mosaic_cfg:
+        mosaic_cfg = dict(mosaic_cfg) if isinstance(mosaic_cfg, dict) else {}
+        ds = MosaicDataset(
+            ds,
+            out_h=mosaic_cfg.get("height", 512),
+            out_w=mosaic_cfg.get("width", 512),
+            p=mosaic_cfg.get("p", 1.0),
+            seed=seed or 0,
+            post_transforms=build_transforms(post_cfg, seed=seed) if post_cfg else None,
+        )
     return ds
 
 

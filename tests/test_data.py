@@ -252,3 +252,35 @@ def test_detection_for_tracking_unique_ids(coco_dir):
         seen.extend(ds[i]["ids"].tolist())
     assert len(seen) == len(set(seen))  # globally unique identities
     assert ds.max_track_ids >= len(seen)
+
+
+def test_mosaic_dataset(coco_dir):
+    from centernet_lightning_tpu.data.mosaic import MosaicDataset
+
+    img_dir, ann = coco_dir
+    base = CocoDetection(img_dir, ann)
+    ds = MosaicDataset(base, out_h=64, out_w=64, p=1.0, seed=0)
+    assert len(ds) == len(base)
+    item = ds[0]
+    assert item["image"].shape == (64, 64, 3)
+    b = item["bboxes"]
+    if len(b):
+        assert (b[:, 0] >= 0).all() and (b[:, 0] + b[:, 2] <= 64 + 1e-4).all()
+        assert (b[:, 2] > 2).all() and (b[:, 3] > 2).all()
+    # p=0 path: plain resized sample
+    ds0 = MosaicDataset(base, out_h=48, out_w=48, p=0.0, seed=0)
+    item = ds0[0]
+    assert item["image"].shape == (48, 48, 3)
+
+
+def test_builder_with_mosaic(coco_dir):
+    img_dir, ann = coco_dir
+    ds = build_dataset({
+        "type": "coco", "img_dir": img_dir, "ann_json": ann,
+        "mosaic": {"height": 64, "width": 64, "p": 1.0},
+        "transforms": [{"name": "HorizontalFlip"},
+                       {"name": "Normalize"}],
+    }, seed=0)
+    item = ds[0]
+    assert item["image"].shape == (64, 64, 3)
+    assert item["image"].dtype == np.float32  # Normalize ran post-mosaic
