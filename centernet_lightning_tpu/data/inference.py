@@ -12,7 +12,7 @@ import os
 from typing import Dict, Optional, Tuple
 
 import cv2
-import numpy as np
+
 
 __all__ = ["InferenceDataset"]
 

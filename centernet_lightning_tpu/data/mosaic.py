@@ -8,7 +8,7 @@ Implemented as a dataset wrapper (a per-sample transform cannot see other
 samples)."""
 from __future__ import annotations
 
-from typing import Optional
+ 
 
 import cv2
 import numpy as np

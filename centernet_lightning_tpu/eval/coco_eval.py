@@ -20,7 +20,7 @@ replacing dist.all_gather_object (reference eval/coco.py:10-18).
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 import numpy as np
 

@@ -18,7 +18,7 @@ scale works (IoU is scale-invariant).
 """
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 from scipy.optimize import linear_sum_assignment

@@ -76,6 +76,8 @@ class ResNet(nn.Module):
     block_cls: Callable
     width: int = 64
     stride: int = 32
+    remat: bool = False  # gradient checkpointing per block (jax.checkpoint):
+    #                      trades recompute for activation memory on big batches
 
     @property
     def out_channels(self) -> List[int]:
@@ -97,11 +99,14 @@ class ResNet(nn.Module):
             ((0, 0), (1, 1), (1, 1), (0, 0)),
         )
 
+        # static_argnums=(2,): `train` flag must stay a Python bool
+        block_cls = (nn.remat(self.block_cls, static_argnums=(2,))
+                     if self.remat else self.block_cls)
         features = []
         for stage, num_blocks in enumerate(self.stage_sizes):
             for block in range(num_blocks):
                 strides = 2 if stage > 0 and block == 0 else 1
-                x = self.block_cls(
+                x = block_cls(
                     self.width * (2 ** stage), strides=strides,
                     name=f"layer{stage + 1}_block{block}",
                 )(x, train)

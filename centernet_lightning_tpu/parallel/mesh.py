@@ -13,7 +13,7 @@ plumbing lets dryrun_multichip exercise a real 2D mesh.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Dict, Optional
 
 import jax
 import numpy as np

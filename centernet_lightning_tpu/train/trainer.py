@@ -28,7 +28,7 @@ from ..utils.box_np import convert_box_format
 from .checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
 from .logging import MetricLogger
 from .optim import make_optimizer
-from .state import TrainState, create_train_state, make_eval_step, make_train_step
+from .state import TrainState, make_eval_step, make_train_step
 
 __all__ = ["Trainer"]
 
