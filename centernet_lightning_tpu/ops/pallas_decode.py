@@ -132,6 +132,15 @@ def decode_detections_pallas(
     peak kernel. Identical outputs (tested in test_pallas_decode.py)."""
     from . import decode as decode_ops
 
+    if nms_kernel != 3:
+        # the fused kernel implements the default 3x3 window; other sizes
+        # take the XLA reduce_window path
+        return decode_ops.decode_detections(
+            heatmap, box_offsets, reid=reid, num_detections=num_detections,
+            nms_kernel=nms_kernel, normalize_boxes=normalize_boxes,
+            box_log=box_log, box_multiplier=box_multiplier, stride=stride,
+        )
+
     scores, labels = peak_class_scores_pallas(
         heatmap, nms_kernel=nms_kernel, interpret=interpret
     )

@@ -1,0 +1,50 @@
+"""Export path: StableHLO serialization round-trip with in-graph decode."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from centernet_lightning_tpu import build_centernet
+
+TINY = {
+    "num_classes": 2,
+    "backbone": "resnet18",
+    "neck": "FPN",
+    "neck_config": {"out_channels": 16},
+    "head_config": {"width": 8, "depth": 1},
+    "num_detections": 5,
+    "image_size": [64, 64],
+}
+
+
+def test_stablehlo_export_roundtrip(tmp_path):
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from export import export_stablehlo, make_serving_fn
+    from jax import export as jax_export
+
+    predictor = build_centernet({"model": TINY})
+    out_path = str(tmp_path / "model.stablehlo")
+    export_stablehlo(predictor, out_path, batch_size=1, height=64, width=64)
+
+    blob = open(out_path, "rb").read()
+    assert len(blob) > 1000
+    restored = jax_export.deserialize(blob)
+
+    imgs = np.random.default_rng(0).integers(
+        0, 255, size=(1, 64, 64, 3), dtype=np.uint8
+    )
+    ref_fn, _ = make_serving_fn(predictor, 1, 64, 64)
+    ref = jax.jit(ref_fn)(jnp.asarray(imgs))
+    got = restored.call(jnp.asarray(imgs))
+
+    # exported program returns the same pytree of detections
+    np.testing.assert_allclose(
+        np.asarray(got["scores"]), np.asarray(ref["scores"]), rtol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got["labels"]), np.asarray(ref["labels"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["boxes"]), np.asarray(ref["boxes"]), rtol=1e-4, atol=1e-4
+    )
