@@ -102,8 +102,29 @@ class CenterNetPredictor:
     def gather_detection2d(self, images, num_detections: Optional[int] = None,
                            nms_kernel: Optional[int] = None,
                            normalize_boxes: bool = False) -> Dict[str, np.ndarray]:
-        """Forward + decode on preprocessed float images -> numpy
-        {bboxes xyxy, labels, scores} (README.md:96-98)."""
+        """Forward + decode -> numpy {bboxes xyxy, labels, scores}.
+
+        Accepts either images (uint8 raw or preprocessed float, NHWC) or a
+        dict of ENCODED outputs from `model(images)` — the reference's
+        two-step contract (README.md:92-98: encoded = model(img);
+        dets = model.gather_detection2d(encoded)).
+        """
+        if isinstance(images, dict):
+            encoded = images
+            out = self.task.decode_detections(
+                jax.nn.sigmoid(encoded["heatmap"].astype(jnp.float32)),
+                encoded["box_2d"].astype(jnp.float32),
+                reid=encoded.get("reid"),
+                normalize_boxes=normalize_boxes,
+                num_detections=num_detections, nms_kernel=nms_kernel,
+            )
+            return {
+                "bboxes": np.asarray(out["boxes"]),
+                "labels": np.asarray(out["labels"]),
+                "scores": np.asarray(out["scores"]),
+                **({"embeddings": np.asarray(out["embeddings"])}
+                   if "embeddings" in out else {}),
+            }
         images = jnp.asarray(images)
         raw = images.dtype == jnp.uint8
         fn = self._decode_fn(

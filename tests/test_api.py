@@ -131,3 +131,16 @@ def test_inference_tracking(img_folder, tmp_path):
     assert len(out["bboxes"]) == 3
     assert len(out["track_ids"]) == 3
     assert os.path.exists(os.path.join(save_dir, "tracking_results.txt"))
+
+
+def test_gather_detection2d_from_encoded_outputs():
+    """Two-step README contract: encoded = model(x); gather(encoded)."""
+    import jax.numpy as jnp2
+
+    model = build_centernet({"model": TINY_MODEL})
+    imgs = jnp2.zeros((1, 64, 64, 3), jnp2.float32)
+    encoded = model(imgs)
+    dets = model.gather_detection2d(encoded)
+    direct = model.gather_detection2d(imgs)
+    np.testing.assert_allclose(dets["scores"], direct["scores"], rtol=1e-5)
+    np.testing.assert_array_equal(dets["labels"], direct["labels"])
