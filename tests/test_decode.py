@@ -123,3 +123,23 @@ def test_normalized_boxes(rng):
     np.testing.assert_allclose(
         normed * np.array([W, H, W, H]) * 4, scaled, rtol=1e-5, atol=1e-5
     )
+
+
+def test_decode_golden_regression():
+    """Pinned decode outputs (fixed inputs) guard numerical regressions —
+    the practical form of the 'bitwise-comparable' output contract."""
+    import os
+
+    import jax.numpy as jnp
+
+    data = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                                "decode_golden.npz"))
+    out = D.decode_detections(
+        jnp.asarray(data["heatmap"]), jnp.asarray(data["box"]),
+        num_detections=25, box_log=True, box_multiplier=16.0, stride=4,
+    )
+    np.testing.assert_array_equal(np.asarray(out["labels"]), data["labels"])
+    np.testing.assert_allclose(np.asarray(out["scores"]), data["scores"],
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(out["boxes"]), data["boxes"],
+                               rtol=1e-5, atol=1e-5)
