@@ -225,16 +225,45 @@ class CenterNetPredictor:
                 images_dir = os.path.join(save_dir, "images")
                 os.makedirs(images_dir, exist_ok=True)
 
-        frame = 0
-        for start in range(0, len(ds), batch_size):
+        def load_batch(start):
             items = [ds[i] for i in range(start, min(start + batch_size, len(ds)))]
             batch = np.stack([x["image"] for x in items])
-            n = len(items)
-            if n < batch_size:
-                pad = np.zeros((batch_size - n, *batch.shape[1:]), batch.dtype)
+            if len(items) < batch_size:
+                pad = np.zeros((batch_size - len(items), *batch.shape[1:]),
+                               batch.dtype)
                 batch = np.concatenate([batch, pad])
-            step_out = tracker.step_batch(batch)
-            step_out = {k: v[:n] for k, v in step_out.items()}
+            return items, batch
+
+        # software pipeline: the device forward of batch i+1 is dispatched
+        # (async) before the host runs batch i's Hungarian association, so
+        # the TPU is never idle during association (SURVEY.md §7 hard parts)
+        starts = list(range(0, len(ds), batch_size))
+        pending = None
+        if starts:
+            k = cfg.get("num_detections", tracker.num_detections)
+            items, batch = load_batch(starts[0])
+            pending = (items, self.gather_tracking2d(
+                jnp.asarray(batch), num_detections=k,
+                nms_kernel=cfg.get("nms_kernel")))
+
+        frame = 0
+        for idx, start in enumerate(starts):
+            items, dets = pending
+            if idx + 1 < len(starts):
+                nxt_items, nxt_batch = load_batch(starts[idx + 1])
+                pending = (nxt_items, self.gather_tracking2d(
+                    jnp.asarray(nxt_batch), num_detections=k,
+                    nms_kernel=cfg.get("nms_kernel")))
+            n = len(items)
+            step_out = {"bboxes": [], "track_ids": []}
+            for i in range(n):
+                tracker.update(dets["bboxes"][i], dets["labels"][i],
+                               dets["scores"][i], dets["embeddings"][i])
+                tracker.frame += 1
+                step_out["bboxes"].append(
+                    [t.bbox for t in tracker.tracks if t.active])
+                step_out["track_ids"].append(
+                    [t.track_id for t in tracker.tracks if t.active])
             out["bboxes"].extend(step_out["bboxes"])
             out["track_ids"].extend(step_out["track_ids"])
 
