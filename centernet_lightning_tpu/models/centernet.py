@@ -187,8 +187,9 @@ class CenterNet:
         num_detections: Optional[int] = None,
         nms_kernel: Optional[int] = None,
     ) -> Dict[str, jnp.ndarray]:
-        """heatmap is post-sigmoid (N,H,W,C). Reference centernet.py:229-241."""
-        return decode_ops.decode_detections(
+        """heatmap is post-sigmoid (N,H,W,C). Reference centernet.py:229-241.
+        Uses the fused Pallas peak kernel on TPU automatically."""
+        return decode_ops.decode_detections_auto(
             heatmap, box_offsets, reid=reid,
             num_detections=num_detections or self.num_detections,
             nms_kernel=nms_kernel or self.nms_kernel,

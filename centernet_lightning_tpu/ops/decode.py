@@ -29,7 +29,23 @@ __all__ = [
     "gather_and_decode_boxes",
     "gather_at_indices",
     "decode_detections",
+    "decode_detections_auto",
 ]
+
+
+def decode_detections_auto(*args, **kwargs):
+    """decode_detections, using the fused Pallas peak kernel on TPU
+    (2.7-4.4x faster across the BASELINE shapes; see docs/experiments.md)
+    and the plain XLA path elsewhere. Jit-safe: backend choice happens at
+    trace time."""
+    import jax
+
+    if jax.default_backend() == "tpu" and kwargs.get("nms_kernel", 3) == 3:
+        from .pallas_decode import decode_detections_pallas
+
+        kwargs.pop("pseudo_nms", None)
+        return decode_detections_pallas(*args, **kwargs)
+    return decode_detections(*args, **kwargs)
 
 
 def peak_class_scores(
