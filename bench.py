@@ -42,6 +42,10 @@ def timed_loop(loop_fn, iters_small: int, iters_big: int):
 
 
 def main():
+    from centernet_lightning_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from centernet_lightning_tpu.models.centernet import CenterNet
     from centernet_lightning_tpu.ops import decode as decode_ops
     from centernet_lightning_tpu.ops.pallas_decode import decode_detections_pallas

@@ -19,6 +19,10 @@ import numpy as np
 
 
 def main():
+    from centernet_lightning_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from centernet_lightning_tpu.models.centernet import CenterNet
     from centernet_lightning_tpu.train import make_optimizer, make_train_step
     from centernet_lightning_tpu.train.state import TrainState

@@ -20,6 +20,10 @@ from centernet_lightning_tpu.train.trainer import Trainer
 
 
 def main():
+    from centernet_lightning_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     parser = argparse.ArgumentParser(description="Train CenterNet/FairMOT on TPU")
     parser.add_argument("--config", required=True, help="YAML config path")
     parser.add_argument("--workdir", default="runs/default", help="checkpoints + logs")
