@@ -78,14 +78,14 @@ def main():
 
     def forward_decode(variables, imgs):
         out = task.model.apply(variables, imgs, train=False)
-        heatmap = jax.nn.sigmoid(out["heatmap"].astype(jnp.float32))
-        box = out["box_2d"].astype(jnp.float32)
+        heatmap = out["heatmap"].astype(jnp.float32)   # logits: decode
+        box = out["box_2d"].astype(jnp.float32)        # applies sigmoid to k
         if use_pallas:
             return decode_detections_pallas(
                 heatmap, box, num_detections=task.num_detections,
-                stride=task.stride,
+                stride=task.stride, from_logits=True,
             )
-        return task.decode_detections(heatmap, box)
+        return task.decode_detections(heatmap, box, from_logits=True)
 
     @partial(jax.jit, static_argnums=(2,))
     def loop(variables, images, n_iters):

@@ -86,11 +86,12 @@ class CenterNetPredictor:
             outputs = task.model.apply(variables, images, train=False)
             reid = outputs.get("reid")
             return task.decode_detections(
-                jax.nn.sigmoid(outputs["heatmap"].astype(jnp.float32)),
+                outputs["heatmap"].astype(jnp.float32),
                 outputs["box_2d"].astype(jnp.float32),
                 reid=reid.astype(jnp.float32) if reid is not None else None,
                 normalize_boxes=normalize,
                 num_detections=num_detections, nms_kernel=nms_kernel,
+                from_logits=True,
             )
 
         return jax.jit(fn)
@@ -112,11 +113,12 @@ class CenterNetPredictor:
         if isinstance(images, dict):
             encoded = images
             out = self.task.decode_detections(
-                jax.nn.sigmoid(encoded["heatmap"].astype(jnp.float32)),
+                encoded["heatmap"].astype(jnp.float32),
                 encoded["box_2d"].astype(jnp.float32),
                 reid=encoded.get("reid"),
                 normalize_boxes=normalize_boxes,
                 num_detections=num_detections, nms_kernel=nms_kernel,
+                from_logits=True,
             )
             return {
                 "bboxes": np.asarray(out["boxes"]),

@@ -186,8 +186,11 @@ class CenterNet:
         normalize_boxes: bool = False,
         num_detections: Optional[int] = None,
         nms_kernel: Optional[int] = None,
+        from_logits: bool = False,
     ) -> Dict[str, jnp.ndarray]:
-        """heatmap is post-sigmoid (N,H,W,C). Reference centernet.py:229-241.
+        """heatmap is post-sigmoid (N,H,W,C) — or raw logits with
+        from_logits=True (saves the full-map sigmoid; sigmoid is monotonic
+        so results are identical). Reference centernet.py:229-241.
         Uses the fused Pallas peak kernel on TPU automatically."""
         return decode_ops.decode_detections_auto(
             heatmap, box_offsets, reid=reid,
@@ -197,6 +200,7 @@ class CenterNet:
             box_log=self.box_log,
             box_multiplier=self.box_multiplier,
             stride=self.stride,
+            from_logits=from_logits,
         )
 
     def forward_and_decode(
@@ -207,9 +211,10 @@ class CenterNet:
         reference README.md:92-98). jit this."""
         outputs = self.model.apply(variables, images, train=False)
         return self.decode_detections(
-            jax.nn.sigmoid(outputs["heatmap"]), outputs["box_2d"],
+            outputs["heatmap"], outputs["box_2d"],
             reid=outputs.get("reid"),
             normalize_boxes=normalize_boxes, num_detections=num_detections,
+            from_logits=True,
         )
 
     # alias matching the reference/README naming

@@ -77,7 +77,8 @@ class FairMOT(CenterNet):
                           nms_kernel: Optional[int] = None) -> Dict[str, jnp.ndarray]:
         outputs = self.model.apply(variables, images, train=False)
         return self.decode_detections(
-            jax.nn.sigmoid(outputs["heatmap"]), outputs["box_2d"],
+            outputs["heatmap"], outputs["box_2d"],
             reid=outputs["reid"], normalize_boxes=True,
             num_detections=num_detections, nms_kernel=nms_kernel,
+            from_logits=True,
         )

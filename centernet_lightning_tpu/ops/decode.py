@@ -49,12 +49,16 @@ def decode_detections_auto(*args, **kwargs):
 
 
 def peak_class_scores(
-    heatmap: jnp.ndarray, nms_kernel: int = 3, pseudo_nms: bool = True
+    heatmap: jnp.ndarray, nms_kernel: int = 3, pseudo_nms: bool = True,
+    from_logits: bool = False,
 ):
-    """Suppress non-peaks and reduce classes. heatmap: (N, H, W, C) probs.
+    """Suppress non-peaks and reduce classes. heatmap: (N, H, W, C) probs —
+    or raw logits with from_logits=True (sigmoid is monotonic, so mask /
+    argmax / ordering are identical; callers apply sigmoid to the few
+    surviving scores instead of the full map).
 
     Returns (scores, labels) of shape (N, H*W): per-pixel best-class score,
-    zeroed where the pixel is not the max of its nms_kernel window.
+    suppressed where the pixel is not the max of its nms_kernel window.
     """
     n, h, w, _ = heatmap.shape
     if pseudo_nms:
@@ -67,7 +71,10 @@ def peak_class_scores(
             window_strides=(1, 1, 1, 1),
             padding=((0, 0), (pad, pad), (pad, pad), (0, 0)),
         )
-        heatmap = heatmap * (pooled == heatmap)
+        if from_logits:
+            heatmap = jnp.where(pooled == heatmap, heatmap, -1e30)
+        else:
+            heatmap = heatmap * (pooled == heatmap)
     scores = jnp.max(heatmap, axis=-1)
     labels = jnp.argmax(heatmap, axis=-1).astype(jnp.int32)
     return scores.reshape(n, h * w), labels.reshape(n, h * w)
@@ -78,15 +85,19 @@ def get_topk_from_heatmap(
     num_detections: int = 100,
     nms_kernel: int = 3,
     pseudo_nms: bool = True,
+    from_logits: bool = False,
 ):
-    """Top-k detections from a (N, H, W, C) probability heatmap.
+    """Top-k detections from a (N, H, W, C) probability (or logits) heatmap.
 
     Returns (scores, indices, labels), each (N, k). `indices` index the
     flattened H*W map with idx = y*W + x (reference convention).
     """
-    scores, labels = peak_class_scores(heatmap, nms_kernel, pseudo_nms)
+    scores, labels = peak_class_scores(heatmap, nms_kernel, pseudo_nms,
+                                       from_logits=from_logits)
     topk_scores, topk_indices = jax.lax.top_k(scores, num_detections)
     topk_labels = jnp.take_along_axis(labels, topk_indices, axis=-1)
+    if from_logits:
+        topk_scores = jax.nn.sigmoid(topk_scores)
     return topk_scores, topk_indices.astype(jnp.int32), topk_labels
 
 
@@ -139,7 +150,7 @@ def gather_at_indices(features: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarra
 
 
 def decode_detections(
-    heatmap: jnp.ndarray,        # (N, H, W, C) probabilities (post-sigmoid)
+    heatmap: jnp.ndarray,        # (N, H, W, C) probabilities (or logits)
     box_offsets: jnp.ndarray,    # (N, H, W, 4)
     reid: Optional[jnp.ndarray] = None,   # (N, H, W, E) for tracking decode
     num_detections: int = 100,
@@ -148,13 +159,15 @@ def decode_detections(
     box_log: bool = False,
     box_multiplier: float = 1.0,
     stride: int = 4,
+    from_logits: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Full decode. Returns dict with boxes (xyxy), scores, labels
     [+ embeddings when reid given] — reference centernet.py:229-241 and
     fairmot.py:138-151 merged into one jit-safe function.
     """
     scores, indices, labels = get_topk_from_heatmap(
-        heatmap, num_detections=num_detections, nms_kernel=nms_kernel
+        heatmap, num_detections=num_detections, nms_kernel=nms_kernel,
+        from_logits=from_logits,
     )
     boxes = gather_and_decode_boxes(
         box_offsets,

@@ -33,34 +33,39 @@ __all__ = ["peak_class_scores_pallas", "decode_detections_pallas"]
 _CLASS_TILE = 8  # class planes per grid step; VMEM block = CT*H*W*4 bytes
 
 
-def _shift_max_1d(x: jnp.ndarray, axis: int, size: int) -> jnp.ndarray:
+_NEG_BIG = -1e30  # below any real logit; max-identity for the logits path
+
+
+def _shift_max_1d(x: jnp.ndarray, axis: int, size: int,
+                  neutral: float) -> jnp.ndarray:
     """max(x, x shifted +1, x shifted -1) along `axis`, edges excluded.
 
-    Shifts wrap with pltpu.roll; wrapped elements are suppressed with a
-    positional mask (heatmap probs are >= 0, so 0 is an identity for max).
+    Shifts wrap with pltpu.roll; wrapped elements are replaced with
+    `neutral` (0 for probabilities, a large negative for logits).
     """
     pos = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
     down = pltpu.roll(x, 1, axis)           # element i now holds x[i-1]
     up = pltpu.roll(x, size - 1, axis)      # element i holds x[i+1] (shift >= 0)
-    down = jnp.where(pos > 0, down, 0.0)
-    up = jnp.where(pos < size - 1, up, 0.0)
+    down = jnp.where(pos > 0, down, neutral)
+    up = jnp.where(pos < size - 1, up, neutral)
     return jnp.maximum(jnp.maximum(x, down), up)
 
 
-def _peak_kernel(hm_ref, scores_ref, labels_ref, *, h: int, w: int, ct: int):
+def _peak_kernel(hm_ref, scores_ref, labels_ref, *, h: int, w: int, ct: int,
+                 neutral: float, init: float):
     tile = pl.program_id(1)
     x = hm_ref[0]                                  # (CT, H, W)
 
-    m = _shift_max_1d(x, 1, h)
-    m = _shift_max_1d(m, 2, w)
-    masked = jnp.where(m == x, x, 0.0)
+    m = _shift_max_1d(x, 1, h, neutral)
+    m = _shift_max_1d(m, 2, w, neutral)
+    masked = jnp.where(m == x, x, neutral)
 
     base = tile * ct
 
     @pl.when(tile == 0)
     def _():
-        # -1 sentinel loses to any prob (>= 0) in the first strict-> compare
-        scores_ref[0] = jnp.full((h, w), -1.0, scores_ref.dtype)
+        # sentinel below any real value loses the first strict-> compare
+        scores_ref[0] = jnp.full((h, w), init, scores_ref.dtype)
         labels_ref[0] = jnp.zeros((h, w), jnp.int32)
 
     # running argmax across class planes (static unroll);
@@ -73,27 +78,37 @@ def _peak_kernel(hm_ref, scores_ref, labels_ref, *, h: int, w: int, ct: int):
         labels_ref[0] = jnp.where(better, base + j, labels_ref[0])
 
 
-@functools.partial(jax.jit, static_argnames=("nms_kernel", "interpret"))
+@functools.partial(jax.jit, static_argnames=("nms_kernel", "from_logits", "interpret"))
 def peak_class_scores_pallas(
-    heatmap: jnp.ndarray, nms_kernel: int = 3, interpret: bool = False
+    heatmap: jnp.ndarray, nms_kernel: int = 3, from_logits: bool = False,
+    interpret: bool = False,
 ):
     """Pallas version of ops.decode.peak_class_scores (3x3 windows only).
 
-    heatmap: (N, H, W, C) probabilities. Returns (scores, labels), (N, H*W).
+    heatmap: (N, H, W, C) probabilities — or raw LOGITS with
+    from_logits=True: sigmoid is strictly monotonic, so the peak mask,
+    class argmax, and top-k ordering are identical on logits; skipping the
+    full-map sigmoid saves an entire heatmap read+write of HBM traffic
+    (apply sigmoid to the k final scores instead).
+    Returns (scores, labels), (N, H*W).
     """
     assert nms_kernel == 3, "pallas peak kernel implements the default 3x3 window"
     n, h, w, c = heatmap.shape
+    neutral = _NEG_BIG if from_logits else 0.0
+    init = _NEG_BIG if from_logits else -1.0
 
     x = heatmap.transpose(0, 3, 1, 2)              # (N, C, H, W)
     ct = min(_CLASS_TILE, c)
     c_pad = (-c) % ct
     if c_pad:
-        # zero planes can never win: probs >= 0 and ties keep the first index,
-        # and all real classes precede the padding
-        x = jnp.pad(x, ((0, 0), (0, c_pad), (0, 0), (0, 0)))
+        # padded planes can never win: fill below any real value, and all
+        # real classes precede the padding (ties keep the first index)
+        x = jnp.pad(x, ((0, 0), (0, c_pad), (0, 0), (0, 0)),
+                    constant_values=neutral if from_logits else 0.0)
     num_tiles = (c + c_pad) // ct
 
-    kernel = functools.partial(_peak_kernel, h=h, w=w, ct=ct)
+    kernel = functools.partial(_peak_kernel, h=h, w=w, ct=ct,
+                               neutral=neutral, init=init)
     scores, labels = pl.pallas_call(
         kernel,
         grid=(n, num_tiles),
@@ -126,10 +141,13 @@ def decode_detections_pallas(
     box_log: bool = False,
     box_multiplier: float = 1.0,
     stride: int = 4,
+    from_logits: bool = False,
     interpret: bool = False,
 ):
     """Drop-in replacement for ops.decode.decode_detections using the fused
-    peak kernel. Identical outputs (tested in test_pallas_decode.py)."""
+    peak kernel. Identical outputs (tested in test_pallas_decode.py).
+    from_logits=True takes raw logits and applies sigmoid only to the k
+    final scores (monotonicity makes everything else identical)."""
     from . import decode as decode_ops
 
     if nms_kernel != 3:
@@ -139,13 +157,17 @@ def decode_detections_pallas(
             heatmap, box_offsets, reid=reid, num_detections=num_detections,
             nms_kernel=nms_kernel, normalize_boxes=normalize_boxes,
             box_log=box_log, box_multiplier=box_multiplier, stride=stride,
+            from_logits=from_logits,
         )
 
     scores, labels = peak_class_scores_pallas(
-        heatmap, nms_kernel=nms_kernel, interpret=interpret
+        heatmap, nms_kernel=nms_kernel, from_logits=from_logits,
+        interpret=interpret,
     )
     topk_scores, topk_indices = jax.lax.top_k(scores, num_detections)
     topk_labels = jnp.take_along_axis(labels, topk_indices, axis=-1)
+    if from_logits:
+        topk_scores = jax.nn.sigmoid(topk_scores)
     boxes = decode_ops.gather_and_decode_boxes(
         box_offsets, topk_indices.astype(jnp.int32),
         normalize_boxes=normalize_boxes, box_log=box_log,

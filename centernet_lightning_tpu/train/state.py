@@ -112,10 +112,11 @@ def make_eval_step(task, num_detections: Optional[int] = None) -> Callable:
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         outputs = task.model.apply(variables, batch["image"], train=False)
         detections = task.decode_detections(
-            jax.nn.sigmoid(outputs["heatmap"]),
+            outputs["heatmap"],
             outputs["box_2d"],
             reid=outputs.get("reid"),
             num_detections=num_detections,
+            from_logits=True,
         )
         return detections
 

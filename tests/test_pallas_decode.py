@@ -39,3 +39,30 @@ def test_full_decode_parity(rng):
     np.testing.assert_allclose(
         np.asarray(got["boxes"]), np.asarray(ref["boxes"]), rtol=1e-6
     )
+
+
+def test_from_logits_parity(rng):
+    """Logits-path decode == probs-path decode (sigmoid is monotonic)."""
+    import jax
+
+    logits = rng.normal(size=(2, 16, 16, 6)).astype(np.float32) * 3
+    box = rng.normal(size=(2, 16, 16, 4)).astype(np.float32)
+    probs = np.asarray(jax.nn.sigmoid(jnp.asarray(logits)))
+
+    ref = D.decode_detections(jnp.asarray(probs), jnp.asarray(box),
+                              num_detections=20, stride=4)
+    got = D.decode_detections(jnp.asarray(logits), jnp.asarray(box),
+                              num_detections=20, stride=4, from_logits=True)
+    np.testing.assert_array_equal(np.asarray(got["labels"]), np.asarray(ref["labels"]))
+    np.testing.assert_allclose(np.asarray(got["scores"]), np.asarray(ref["scores"]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got["boxes"]), np.asarray(ref["boxes"]),
+                               rtol=1e-6)
+
+    got_p = P.decode_detections_pallas(
+        jnp.asarray(logits), jnp.asarray(box), num_detections=20, stride=4,
+        from_logits=True, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got_p["labels"]), np.asarray(ref["labels"]))
+    np.testing.assert_allclose(np.asarray(got_p["scores"]), np.asarray(ref["scores"]),
+                               rtol=1e-6)
