@@ -120,3 +120,35 @@ def test_fairmot_train_step_runs(rng):
     for _ in range(10):
         state, losses = step_fn(state, batch)
     assert float(losses["reid"]) < first_reid
+
+
+def test_trainer_resume_roundtrip(synthetic_coco, tmp_path):
+    """Auto-resume restores step/epoch/params through the Trainer path."""
+    task_kwargs = dict(
+        num_classes=1, backbone="resnet18", neck="SimpleNeck",
+        neck_config={"upsample_channels": [16, 16, 16]},
+        head_config={"width": 8, "depth": 1}, num_detections=4,
+        optimizer_config={"optimizer": "Adam", "lr": 1e-3, "weight_decay": 0,
+                          "warmup_epochs": 0},
+    )
+    ckpt = str(tmp_path / "ckpt")
+    t1 = Trainer(CenterNet(**task_kwargs), train_loader=make_loader(synthetic_coco),
+                 max_epochs=2, image_size=(IMG, IMG), ckpt_dir=ckpt,
+                 diagnostics=False)
+    t1.fit()
+    step_after = int(t1.state.step)
+    assert step_after == 4  # 2 epochs x 2 steps
+
+    t2 = Trainer(CenterNet(**task_kwargs), train_loader=make_loader(synthetic_coco),
+                 max_epochs=4, image_size=(IMG, IMG), ckpt_dir=ckpt,
+                 diagnostics=False)
+    assert t2.start_epoch == 2
+    assert int(t2.state.step) == step_after
+    p1 = jax.device_get(t1.state.params)
+    p2 = jax.device_get(t2.state.params)
+    leaves1 = jax.tree_util.tree_leaves(p1)
+    leaves2 = jax.tree_util.tree_leaves(p2)
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_array_equal(a, b)
+    t2.fit()
+    assert int(t2.state.step) == 8
