@@ -104,7 +104,7 @@ def make_train_step(task, donate: bool = True,
 
 
 def make_eval_step(task, num_detections: Optional[int] = None) -> Callable:
-    """Jitted forward + loss + decode for validation
+    """Jitted forward + decode for validation
     (reference centernet.py:202-212)."""
 
     @partial(jax.jit, static_argnums=())
