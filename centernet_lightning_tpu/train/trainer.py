@@ -169,8 +169,9 @@ class Trainer:
         if n % self.mesh.shape["data"] == 0:
             sharding = batch_sharding(self.mesh)
         else:
-            # ragged final eval batch: run replicated on the first device
-            sharding = jax.devices()[0]
+            # ragged final eval batch: replicate over the same mesh so the
+            # placement matches the (replicated) train state
+            sharding = replicated(self.mesh)
         return {
             k: jax.device_put(jnp.asarray(v), sharding)
             for k, v in batch.items() if k != "image_id"
