@@ -25,10 +25,13 @@ class MosaicDataset:
     def __init__(self, dataset, out_h: int = 512, out_w: int = 512,
                  p: float = 1.0, seed: int = 0, post_transforms=None,
                  min_box_side: float = 2.0):
+        import threading
+
         self.dataset = dataset
         self.out_h, self.out_w = out_h, out_w
         self.p = p
         self.rng = np.random.default_rng(seed)
+        self._lock = threading.Lock()  # generators aren't thread-safe
         self.post_transforms = post_transforms
         self.min_box_side = min_box_side
         self.num_classes = getattr(dataset, "num_classes", None)
@@ -42,7 +45,12 @@ class MosaicDataset:
         return sample
 
     def __getitem__(self, idx: int):
-        if self.rng.uniform() >= self.p:
+        with self._lock:
+            rng = np.random.default_rng(self.rng.integers(2 ** 63))
+        return self._get(idx, rng)
+
+    def _get(self, idx: int, rng):
+        if rng.uniform() >= self.p:
             sample = dict(self.dataset[idx])
             img = sample["image"]
             if img.shape[:2] != (self.out_h, self.out_w):
@@ -58,10 +66,10 @@ class MosaicDataset:
         H, W = self.out_h, self.out_w
         canvas = np.zeros((2 * H, 2 * W, 3), np.uint8)
         # random mosaic center in the middle half of the canvas
-        cx = int(self.rng.integers(W // 2, W + W // 2))
-        cy = int(self.rng.integers(H // 2, H + H // 2))
+        cx = int(rng.integers(W // 2, W + W // 2))
+        cy = int(rng.integers(H // 2, H + H // 2))
 
-        indices = [idx] + [int(self.rng.integers(0, len(self.dataset)))
+        indices = [idx] + [int(rng.integers(0, len(self.dataset)))
                            for _ in range(3)]
         boxes_all, labels_all, ids_all = [], [], []
         has_ids = None

@@ -332,9 +332,17 @@ class Compose:
         self.transforms = transforms
         self.min_area = min_area
         self.rng = np.random.default_rng(seed)
+        # numpy Generators are not thread-safe and the threaded DataLoader
+        # calls transforms concurrently: hand each call its own child
+        # generator, seeded under a lock
+        import threading
+
+        self._lock = threading.Lock()
 
     def __call__(self, sample: Dict, rng: Optional[np.random.Generator] = None) -> Dict:
-        rng = rng or self.rng
+        if rng is None:
+            with self._lock:
+                rng = np.random.default_rng(self.rng.integers(2 ** 63))
         sample = dict(sample)
         sample["bboxes"] = np.asarray(sample.get("bboxes", np.zeros((0, 4))), np.float32).reshape(-1, 4)
         sample["labels"] = np.asarray(sample.get("labels", np.zeros((0,))), np.int64).reshape(-1)
