@@ -302,6 +302,7 @@ def build_centernet(
     config: Union[str, Dict[str, Any]],
     checkpoint: Optional[str] = None,
     rng=None,
+    torch_ckpt: Optional[str] = None,
 ) -> CenterNetPredictor:
     """YAML path / config dict / checkpoint dir -> ready predictor
     (the documented Gen-A entry point, README.md:34-47).
@@ -309,7 +310,9 @@ def build_centernet(
     Accepts Gen-A and Gen-B config shapes (train/config.py normalizes).
     If `config` is a checkpoint directory with hparams.json, the model is
     rebuilt from the checkpoint alone (Lightning load_from_checkpoint
-    equivalent).
+    equivalent). `torch_ckpt` ingests a reference Lightning .ckpt (the
+    released-checkpoint path, reference docs/model_zoo.md:3-5) by full
+    torch->flax conversion.
     """
     from .train.checkpoint import load_checkpoint
 
@@ -338,7 +341,9 @@ def build_centernet(
 
     if checkpoint is not None:
         state, _ = load_checkpoint(checkpoint)
-    if state is not None:
+    if torch_ckpt is not None:
+        variables = task.load_torch_checkpoint(torch_ckpt, image_size=image_size)
+    elif state is not None:
         variables = {"params": state["params"],
                      "batch_stats": state.get("batch_stats", {})}
     else:

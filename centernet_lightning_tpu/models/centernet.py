@@ -39,7 +39,8 @@ __all__ = ["CenterNet"]
 class CenterNet:
     num_classes: int
     backbone: str = "resnet34"
-    pretrained_backbone: bool = False
+    # False | True (raises: no download path here) | path to torch weights
+    pretrained_backbone: Any = False
     neck: str = "FPN"
     neck_config: Optional[Dict[str, Any]] = None
     head_config: Optional[Dict[str, Any]] = None
@@ -96,6 +97,8 @@ class CenterNet:
     def init(self, rng, image_size=(512, 512), batch_size: int = 1):
         dummy = jnp.zeros((batch_size, *image_size, 3), jnp.float32)
         variables = self.model.init(rng, dummy, train=True)
+        if self.pretrained_backbone:
+            variables = self._load_pretrained_backbone(variables)
         if self.reid_config is not None:
             # the classifier tower only runs through classify_embeddings;
             # init it too so its params exist
@@ -109,6 +112,43 @@ class CenterNet:
                 _merge_variables(variables, cls_vars),
             )
         return variables
+
+    def _load_pretrained_backbone(self, variables):
+        """Honor `pretrained_backbone` (reference meta.py:87
+        `backbones.__dict__[name](pretrained=True)`): a path to a torch
+        state dict (.pth/.ckpt) is converted and swapped into the backbone
+        subtree. `True` without a path cannot download weights in this
+        zero-egress environment and raises rather than silently no-op."""
+        if self.pretrained_backbone is True:
+            raise RuntimeError(
+                "pretrained_backbone=True requires downloading torchvision "
+                "weights, which this environment cannot do; pass a local "
+                "path to a torch state dict instead "
+                "(pretrained_backbone: /path/to/resnet34.pth)"
+            )
+        from ..utils.torch_convert import load_torch_resnet
+
+        params, stats = load_torch_resnet(
+            self.pretrained_backbone, arch=self.backbone
+        )
+        variables = dict(variables)
+        variables["params"] = dict(variables["params"])
+        variables["params"]["backbone"] = params
+        if "batch_stats" in variables:
+            variables["batch_stats"] = dict(variables["batch_stats"])
+            variables["batch_stats"]["backbone"] = stats
+        return variables
+
+    def load_torch_checkpoint(self, path_or_state, image_size=(512, 512)):
+        """Full released-checkpoint ingestion: convert a Lightning .ckpt of
+        the reference model into flax variables for this task (reference
+        models/meta.py:87-96 + docs/model_zoo.md released ResNet34-BiFPN)."""
+        from ..utils.torch_convert import load_torch_centernet
+
+        template = self.init(jax.random.PRNGKey(0), image_size=image_size)
+        return load_torch_centernet(
+            path_or_state, template, backbone_arch=self.backbone
+        )
 
     def apply(self, variables, images, train: bool = False, mutable=None):
         if mutable is None:
