@@ -30,13 +30,11 @@ def load_coco_annotations(ann_json: str):
 
     images = sorted(data["images"], key=lambda x: x["id"])
     targets: Dict[int, Dict[str, list]] = {
-        img["id"]: {"boxes": [], "labels": []} for img in images
+        img["id"]: {"boxes": [], "labels": [], "iscrowd": []} for img in images
     }
     dims = {img["id"]: (img["width"], img["height"]) for img in images}
 
     for ann in data.get("annotations", []):
-        if ann.get("iscrowd", 0):
-            continue
         img_id = ann["image_id"]
         if img_id not in targets:
             continue
@@ -48,8 +46,12 @@ def load_coco_annotations(ann_json: str):
         w, h = x2 - x, y2 - y
         if w <= 1 or h <= 1:  # drop degenerate boxes (coco.py:60-67)
             continue
+        # crowd regions are kept (the reference loads all anns,
+        # coco.py:48-55) and flagged so the evaluator can ignore-match
+        # them with pycocotools IoF semantics
         targets[img_id]["boxes"].append([x, y, w, h])
         targets[img_id]["labels"].append(label_map[ann["category_id"]])
+        targets[img_id]["iscrowd"].append(int(ann.get("iscrowd", 0)))
 
     return images, targets, label_map, cat_names
 
@@ -84,6 +86,7 @@ class CocoDetection:
             "image": img,
             "bboxes": np.asarray(target["boxes"], np.float32).reshape(-1, 4),
             "labels": np.asarray(target["labels"], np.int64),
+            "iscrowd": np.asarray(target["iscrowd"], np.int64),
             "image_id": info["id"],
         }
         if self.transforms is not None:

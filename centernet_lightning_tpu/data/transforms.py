@@ -59,7 +59,7 @@ def _filter_boxes(sample, min_area: float = 1.0, min_side: float = 1.0):
         & (clipped[:, 2] * clipped[:, 3] >= min_area)
     )
     sample["bboxes"] = clipped[keep]
-    for key in ("labels", "ids"):
+    for key in ("labels", "ids", "iscrowd"):
         if key in sample:
             sample[key] = np.asarray(sample[key])[keep]
     return sample

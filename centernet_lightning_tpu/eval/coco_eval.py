@@ -32,8 +32,14 @@ METRIC_NAMES = [
 ]
 
 
-def box_iou_xywh(dets: np.ndarray, gts: np.ndarray) -> np.ndarray:
-    """Pairwise IoU, boxes in xywh. Shapes (D, 4) x (G, 4) -> (D, G)."""
+def box_iou_xywh(dets: np.ndarray, gts: np.ndarray,
+                 gt_crowd: np.ndarray = None) -> np.ndarray:
+    """Pairwise IoU, boxes in xywh. Shapes (D, 4) x (G, 4) -> (D, G).
+
+    Crowd GT columns use IoF (intersection / det area) instead of IoU —
+    pycocotools maskUtils.iou(dt, gt, iscrowd) semantics: a detection
+    inside a crowd region overlaps it fully regardless of the region's
+    size."""
     if len(dets) == 0 or len(gts) == 0:
         return np.zeros((len(dets), len(gts)), np.float64)
     d = dets.astype(np.float64)
@@ -51,7 +57,11 @@ def box_iou_xywh(dets: np.ndarray, gts: np.ndarray) -> np.ndarray:
     area_d = (d[:, 2] * d[:, 3])[:, None]
     area_g = (g[:, 2] * g[:, 3])[None]
     union = area_d + area_g - inter
-    return np.where(union > 0, inter / union, 0.0)
+    if gt_crowd is not None and np.any(gt_crowd):
+        union = np.where(np.asarray(gt_crowd, bool)[None, :],
+                         np.broadcast_to(area_d, union.shape), union)
+    # union == 0 implies inter == 0; tiny floor avoids a 0/0 warning
+    return inter / np.maximum(union, np.finfo(np.float64).tiny)
 
 
 class COCOProtocolEval:
@@ -70,7 +80,7 @@ class COCOProtocolEval:
         }
 
     def _evaluate_img(self, det_boxes, det_scores, gt_boxes, area_rng, max_det,
-                      ious=None):
+                      ious=None, gt_crowd=None):
         """One (image, category, areaRng) cell at the LARGEST maxDet;
         smaller maxDets are column slices in accumulation (pycocotools
         computes matches once with maxDets[-1] and truncates).
@@ -78,18 +88,24 @@ class COCOProtocolEval:
         Returns (dt_scores, dt_matched, dt_ignore, npig) arrays over the
         IoU-threshold axis T. `ious` may be precomputed for (det_boxes
         sorted by score, gt_boxes) to share across area ranges.
+        `gt_crowd` marks iscrowd GTs: always ignored (never in npig),
+        matched by IoF, matchable by any number of dets (pycocotools
+        cocoeval.evaluateImg crowd semantics).
         """
         T = len(self.iou_thrs)
-        gt_area = gt_boxes[:, 2] * gt_boxes[:, 3] if len(gt_boxes) else np.zeros(0)
-        gt_ig = (gt_area < area_rng[0]) | (gt_area > area_rng[1])
+        G = len(gt_boxes)
+        gt_crowd = (np.zeros(G, bool) if gt_crowd is None
+                    else np.asarray(gt_crowd, bool))
+        gt_area = gt_boxes[:, 2] * gt_boxes[:, 3] if G else np.zeros(0)
+        gt_ig = gt_crowd | (gt_area < area_rng[0]) | (gt_area > area_rng[1])
 
         dt_order = np.argsort(-det_scores, kind="mergesort")[:max_det]
         det_boxes = det_boxes[dt_order]
         det_scores = det_scores[dt_order]
 
-        D, G = len(det_boxes), len(gt_boxes)
+        D = len(det_boxes)
         if ious is None:
-            ious = box_iou_xywh(det_boxes, gt_boxes)
+            ious = box_iou_xywh(det_boxes, gt_boxes, gt_crowd)
         else:
             ious = ious[:max_det]
 
@@ -97,7 +113,8 @@ class COCOProtocolEval:
         # dets in score order each take the highest-IoU unmatched GT >= thr,
         # preferring ANY real GT over ignored ones (gts sorted real-first,
         # iteration breaks before ignored once a real match exists); argmax
-        # first-occurrence reproduces the strict-> tie-break.
+        # first-occurrence reproduces the strict-> tie-break. Crowd GTs are
+        # never marked taken — any number of dets may ignore-match one.
         dtm = np.zeros((T, D), np.int64)       # matched gt index + 1; 0 = none
         gt_real = ~gt_ig
         for t, thr in enumerate(self.iou_thrs):
@@ -105,7 +122,7 @@ class COCOProtocolEval:
             taken = np.zeros(G, bool)
             for dind in range(D):
                 row = ious[dind]
-                ok = ~taken & (row >= thr_eff)
+                ok = (~taken | gt_crowd) & (row >= thr_eff)
                 real = ok & gt_real
                 if real.any():
                     m = int(np.argmax(np.where(real, row, -1.0)))
@@ -151,19 +168,24 @@ class COCOProtocolEval:
                 det_boxes = np.asarray(pred["boxes"], np.float64).reshape(-1, 4)[p_sel]
                 det_scores = np.asarray(pred["scores"], np.float64).reshape(-1)[p_sel]
                 gt_boxes = np.asarray(gt["boxes"], np.float64).reshape(-1, 4)[g_sel]
+                if "iscrowd" in gt:
+                    gt_crowd = np.asarray(gt["iscrowd"], bool).reshape(-1)[g_sel]
+                else:
+                    gt_crowd = np.zeros(len(gt_boxes), bool)
                 if len(det_boxes) == 0 and len(gt_boxes) == 0:
                     continue
                 # IoU computed once per (image, category) on score-sorted
                 # dets, shared across area ranges (pycocotools computeIoU)
                 order = np.argsort(-det_scores, kind="mergesort")[:max_det_all]
-                ious = box_iou_xywh(det_boxes[order], gt_boxes)
-                per_img.append((det_boxes, det_scores, gt_boxes, ious))
+                ious = box_iou_xywh(det_boxes[order], gt_boxes, gt_crowd)
+                per_img.append((det_boxes, det_scores, gt_boxes, gt_crowd, ious))
 
             for a, (aname, rng) in enumerate(self.area_rngs.items()):
                 # match once at the largest maxDet; per-maxDet views below
                 cells = [
-                    self._evaluate_img(db, ds, gb, rng, max_det_all, ious=iou)
-                    for db, ds, gb, iou in per_img
+                    self._evaluate_img(db, ds, gb, rng, max_det_all,
+                                       ious=iou, gt_crowd=gc)
+                    for db, ds, gb, gc, iou in per_img
                 ]
                 npig = sum(c[3] for c in cells)
                 if npig == 0:
@@ -257,10 +279,13 @@ class CocoEvaluator:
                 "labels": np.asarray(p["labels"], np.int64).reshape(-1),
             })
         for t in targets:
-            self.targets.append({
+            entry = {
                 "boxes": np.asarray(t["boxes"], np.float64).reshape(-1, 4),
                 "labels": np.asarray(t["labels"], np.int64).reshape(-1),
-            })
+            }
+            if "iscrowd" in t:
+                entry["iscrowd"] = np.asarray(t["iscrowd"], np.int64).reshape(-1)
+            self.targets.append(entry)
 
     def get_metrics(self) -> Dict[str, float]:
         preds, targets = self.preds, self.targets

@@ -292,8 +292,11 @@ class Trainer:
             targets = []
             for i in range(n):
                 m = batch["mask"][i].astype(bool)
-                targets.append({"boxes": batch["boxes"][i][m],
-                                "labels": batch["labels"][i][m]})
+                entry = {"boxes": batch["boxes"][i][m],
+                         "labels": batch["labels"][i][m]}
+                if "iscrowd" in batch:
+                    entry["iscrowd"] = batch["iscrowd"][i][m]
+                targets.append(entry)
             # multihost: union per-process predictions (eval/coco.py:10-18 analog)
             evaluator.update(preds, targets)
         if jax.process_count() > 1:

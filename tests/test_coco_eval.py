@@ -132,3 +132,120 @@ def test_streaming_update_and_reset():
     assert e.get_metrics()["mAP"] == pytest.approx(1.0)
     e.reset()
     assert len(e.preds) == 0
+
+
+# ---------------------------------------------------------------------------
+# iscrowd semantics (pycocotools cocoeval crowd handling, VERDICT item 3)
+# ---------------------------------------------------------------------------
+
+
+def test_crowd_iof_iou():
+    """Crowd GT columns use IoF = inter / det area, not IoU."""
+    d = np.array([[0, 0, 10, 10]], float)
+    g = np.array([[0, 0, 100, 100], [0, 0, 100, 100]], float)
+    iou = box_iou_xywh(d, g, gt_crowd=np.array([False, True]))
+    np.testing.assert_allclose(iou[0, 0], 100.0 / 10000.0, rtol=1e-9)  # IoU
+    np.testing.assert_allclose(iou[0, 1], 1.0, rtol=1e-9)              # IoF
+
+
+def test_crowd_not_counted_in_recall_denominator():
+    """A crowd GT never enters npig: perfect detection of the one real GT
+    gives mAP 1.0 even though the crowd region is 'missed'."""
+    e = ev()
+    gt = {"boxes": np.array([[10, 10, 20, 20], [50, 50, 200, 200]], float),
+          "labels": np.array([0, 0]),
+          "iscrowd": np.array([0, 1])}
+    pred = {"boxes": np.array([[10, 10, 20, 20]], float),
+            "scores": np.array([0.9]), "labels": np.array([0])}
+    e.update([pred], [gt])
+    m = e.get_metrics()
+    assert m["mAP"] == pytest.approx(1.0)
+    assert m["mAR"] == pytest.approx(1.0)
+
+
+def test_det_on_crowd_is_neither_tp_nor_fp():
+    """A detection inside a crowd region (high IoF, low IoU) is ignore-
+    matched: it must not lower precision. Without the crowd flag the same
+    detection is a hard FP."""
+    gt_boxes = np.array([[10, 10, 20, 20], [100, 100, 300, 300]], float)
+    real = {"boxes": np.array([[10, 10, 20, 20]], float),
+            "scores": np.array([0.9]), "labels": np.array([0])}
+    # second det: small box inside the big region -> IoU ~0.01, IoF = 1
+    preds = {"boxes": np.array([[10, 10, 20, 20], [150, 150, 30, 30]], float),
+             "scores": np.array([0.9, 0.95]), "labels": np.array([0, 0])}
+
+    e_crowd = ev()
+    e_crowd.update([preds], [{"boxes": gt_boxes, "labels": np.array([0, 0]),
+                              "iscrowd": np.array([0, 1])}])
+    m_crowd = e_crowd.get_metrics()
+    assert m_crowd["mAP"] == pytest.approx(1.0), \
+        "det ignore-matched to crowd must not be an FP"
+
+    e_plain = ev()
+    e_plain.update([preds], [{"boxes": gt_boxes, "labels": np.array([0, 0]),
+                              "iscrowd": np.array([0, 0])}])
+    m_plain = e_plain.get_metrics()
+    assert m_plain["mAP"] < 0.6, \
+        "without iscrowd the same high-score det is an FP (and the region a miss)"
+
+
+def test_crowd_matched_by_multiple_dets():
+    """Crowd GTs are never exhausted: many dets can ignore-match one crowd
+    without any becoming FPs."""
+    e = ev()
+    gt = {"boxes": np.array([[0, 0, 400, 400], [500, 500, 10, 10]], float),
+          "labels": np.array([0, 0]), "iscrowd": np.array([1, 0])}
+    pred = {"boxes": np.array([[500, 500, 10, 10], [10, 10, 20, 20],
+                               [100, 100, 20, 20], [300, 300, 20, 20]], float),
+            "scores": np.array([0.9, 0.8, 0.7, 0.6]),
+            "labels": np.array([0, 0, 0, 0])}
+    e.update([pred], [gt])
+    m = e.get_metrics()
+    assert m["mAP"] == pytest.approx(1.0)
+
+
+def test_real_gt_preferred_over_crowd():
+    """A det overlapping both a real GT (IoU >= thr) and a crowd must match
+    the real GT (TP), not ignore-match the crowd."""
+    e = ev()
+    gt = {"boxes": np.array([[0, 0, 100, 100], [10, 10, 50, 50]], float),
+          "labels": np.array([0, 0]), "iscrowd": np.array([1, 0])}
+    pred = {"boxes": np.array([[10, 10, 50, 50]], float),
+            "scores": np.array([0.9]), "labels": np.array([0])}
+    e.update([pred], [gt])
+    m = e.get_metrics()
+    assert m["mAP"] == pytest.approx(1.0)
+    assert m["mAR"] == pytest.approx(1.0)  # the real GT was found
+
+
+def test_coco_dataset_keeps_crowds(tmp_path):
+    """data/coco.py keeps crowd annotations and emits the iscrowd array
+    (round 1 silently dropped them)."""
+    import json
+    import cv2
+    from centernet_lightning_tpu.data.coco import CocoDetection
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    cv2.imwrite(str(img_dir / "a.jpg"), np.zeros((40, 60, 3), np.uint8))
+    ann = {
+        "images": [{"id": 1, "file_name": "a.jpg", "width": 60, "height": 40}],
+        "annotations": [
+            {"image_id": 1, "bbox": [5, 5, 20, 20], "category_id": 7, "iscrowd": 0},
+            {"image_id": 1, "bbox": [0, 0, 50, 30], "category_id": 7, "iscrowd": 1},
+        ],
+        "categories": [{"id": 7, "name": "thing"}],
+    }
+    ann_path = tmp_path / "ann.json"
+    ann_path.write_text(json.dumps(ann))
+
+    ds = CocoDetection(str(img_dir), str(ann_path))
+    sample = ds[0]
+    assert len(sample["bboxes"]) == 2
+    np.testing.assert_array_equal(sample["iscrowd"], [0, 1])
+
+    # collate carries it through, padded + aligned with mask
+    from centernet_lightning_tpu.data.collate import CollateDetection
+    batch = CollateDetection(max_boxes=4)([sample])
+    assert batch["iscrowd"].shape == (1, 4)
+    np.testing.assert_array_equal(batch["iscrowd"][0], [0, 1, 0, 0])
