@@ -28,6 +28,7 @@ __all__ = [
     "shard_params",
     "process_local_batch_size",
     "all_gather_host",
+    "gather_object_lists",
 ]
 
 
@@ -101,3 +102,69 @@ def all_gather_host(tree):
     from jax.experimental import multihost_utils
 
     return multihost_utils.process_allgather(tree)
+
+
+def _default_allgather(tree):
+    from jax.experimental import multihost_utils
+
+    return jax.tree_util.tree_map(
+        np.asarray, multihost_utils.process_allgather(tree)
+    )
+
+
+def gather_object_lists(
+    items, schema: Dict[str, Any],
+    _allgather=None, _process_count: Optional[int] = None,
+):
+    """Union per-process LISTS of dicts of variable-length numpy arrays —
+    the working replacement for dist.all_gather_object (reference
+    eval/coco.py:10-18). process_allgather only moves equal-shape arrays,
+    so ragged per-image prediction/target lists are packed into padded
+    fixed-shape blocks first:
+
+      1. allgather each process's (num_items, max_rows) dims,
+      2. pad every array to the global max block shape,
+      3. allgather the blocks + per-item row counts (-1 marks pad items),
+      4. unpack back into one flat list ordered by (process, item).
+
+    `schema` maps key -> (trailing_shape, dtype) so processes holding zero
+    items still contribute correctly-shaped blocks. Every key's leading dim
+    must be the item's row count. `_allgather`/`_process_count` are
+    injectable for single-process tests.
+    """
+    pc = _process_count if _process_count is not None else jax.process_count()
+    if pc == 1:
+        return list(items)
+    allgather = _allgather or _default_allgather
+
+    keys = sorted(schema)
+    counts = np.asarray(
+        [len(np.asarray(it[keys[0]])) for it in items], np.int64
+    )
+    n_local = len(items)
+    k_local = int(counts.max()) if n_local else 0
+
+    dims = allgather(np.asarray([n_local, k_local], np.int64))  # (P, 2)
+    n_max = int(dims[:, 0].max())
+    k_max = max(int(dims[:, 1].max()), 1)
+
+    packed = {"_counts": np.full((n_max,), -1, np.int64)}
+    packed["_counts"][:n_local] = counts
+    for key in keys:
+        trail, dtype = schema[key]
+        block = np.zeros((n_max, k_max, *trail), dtype)
+        for i, it in enumerate(items):
+            arr = np.asarray(it[key], dtype).reshape(-1, *trail)
+            block[i, : len(arr)] = arr
+        packed[key] = block
+
+    gathered = allgather(packed)  # leading P axis on every leaf
+    out = []
+    for p in range(pc):
+        cnts = gathered["_counts"][p]
+        for i in range(n_max):
+            c = int(cnts[i])
+            if c < 0:
+                continue
+            out.append({key: gathered[key][p, i, :c] for key in keys})
+    return out

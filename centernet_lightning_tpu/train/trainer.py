@@ -23,7 +23,9 @@ from ..eval.coco_eval import CocoEvaluator
 from ..eval.mot import evaluate_mot_tracking_sequence
 from ..models.meta import param_count_report
 from ..models.tracker import Tracker
-from ..parallel.mesh import all_gather_host, batch_sharding, create_mesh, replicated
+from ..parallel.mesh import (
+    batch_sharding, create_mesh, gather_object_lists, replicated,
+)
 from ..utils.box_np import convert_box_format
 from .checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
 from .logging import MetricLogger
@@ -297,11 +299,19 @@ class Trainer:
                 if "iscrowd" in batch:
                     entry["iscrowd"] = batch["iscrowd"][i][m]
                 targets.append(entry)
-            # multihost: union per-process predictions (eval/coco.py:10-18 analog)
             evaluator.update(preds, targets)
+        # multihost: union per-process ragged prediction/target lists via
+        # fixed-shape padded blocks (eval/coco.py:10-18 analog)
         if jax.process_count() > 1:
-            evaluator.preds = list(all_gather_host(evaluator.preds))
-            evaluator.targets = list(all_gather_host(evaluator.targets))
+            pred_schema = {"boxes": ((4,), np.float64),
+                           "scores": ((), np.float64),
+                           "labels": ((), np.int64)}
+            tgt_schema = {"boxes": ((4,), np.float64),
+                          "labels": ((), np.int64)}
+            if evaluator.targets and "iscrowd" in evaluator.targets[0]:
+                tgt_schema["iscrowd"] = ((), np.int64)
+            evaluator.preds = gather_object_lists(evaluator.preds, pred_schema)
+            evaluator.targets = gather_object_lists(evaluator.targets, tgt_schema)
         return {f"val/{k}": v for k, v in evaluator.get_metrics().items()}
 
     def validate_tracking(self) -> Dict[str, float]:
