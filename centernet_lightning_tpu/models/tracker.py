@@ -1,12 +1,26 @@
 """Host-side multi-object tracking runtime.
 
-Reimplements the reference Tracker/Track stack (reference
-models/tracker.py:16-358) on numpy + scipy + our own Kalman filter
-(filterpy unavailable). The device side feeds it: one jitted
-forward+decode+embedding-gather program produces top-k arrays
-(k x (4+1+1+emb) floats), the ONLY per-frame D2H transfer; association
-(Hungarian on ReID cosine then IoU), the track state machine, and Kalman
-prediction run on the TPU-VM host exactly as the reference specifies.
+Provides the capability of the reference Tracker/Track stack (reference
+models/tracker.py:16-358) — two-stage Hungarian association (ReID cosine,
+then box-overlap on the leftovers), a four-state track lifecycle, EMA
+appearance smoothing, and an optional constant-velocity Kalman filter —
+implemented here on numpy + scipy + our own Kalman (utils/kalman.py;
+filterpy is unavailable).
+
+Division of labor in this framework: the device runs ONE jitted
+forward+decode+embedding-gather program whose top-k output arrays
+(k x (4+1+1+emb) floats) are the only per-frame D2H transfer; everything
+in this module runs on the TPU-VM host.
+
+Behavior contracts (pinned by tests/test_tracker.py):
+ - lifecycle UNCONFIRMED -(min_birth_age hits)-> ACTIVE <-> INACTIVE
+   -(max_inactive_age misses)-> TO_DELETE; unconfirmed tracks die on the
+   first miss
+ - association stage 1 on embedding distance (threshold accept), stage 2
+   on box distance over the unmatched remainder
+ - embeddings L2-normalized then blended with factor `smoothing_factor`
+ - Kalman: 8-state constant-velocity over xyxy corners with
+   extent-proportional noise (DeepSORT-style scaling)
 """
 from __future__ import annotations
 
@@ -16,7 +30,7 @@ from typing import Callable, List, Optional, Union
 
 import numpy as np
 from scipy.optimize import linear_sum_assignment
-from scipy.spatial import distance
+from scipy.spatial import distance as _sp_distance
 
 from ..utils.box_np import box_giou_distance_matrix, box_iou_distance_matrix
 from ..utils.kalman import KalmanFilter
@@ -31,130 +45,170 @@ class TrackState(Enum):
     TO_DELETE = auto()
 
 
-_box_costs = {
-    "iou": box_iou_distance_matrix,
-    "giou": box_giou_distance_matrix,
-}
-
-
 def match_with_threshold(cost_matrix: np.ndarray, threshold: float):
-    """Hungarian assignment keeping only pairs with cost < threshold
-    (reference tracker.py:27-43)."""
-    row_ind, col_ind = linear_sum_assignment(cost_matrix)
-    matches, matched_row, matched_col = [], set(), set()
-    for row, col in zip(row_ind, col_ind):
-        if cost_matrix[row, col] < threshold:
-            matches.append((row, col))
-            matched_row.add(row)
-            matched_col.add(col)
-    unmatched_row = [x for x in range(cost_matrix.shape[0]) if x not in matched_row]
-    unmatched_col = [x for x in range(cost_matrix.shape[1]) if x not in matched_col]
-    return matches, unmatched_row, unmatched_col
+    """Hungarian assignment, then discard pairs at/above `threshold`.
+
+    Returns (accepted [(row, col), ...], leftover rows, leftover cols).
+    """
+    n_rows, n_cols = cost_matrix.shape
+    rows, cols = linear_sum_assignment(cost_matrix)
+    accept = cost_matrix[rows, cols] < threshold
+    rows, cols = rows[accept], cols[accept]
+
+    row_free = np.ones(n_rows, bool)
+    col_free = np.ones(n_cols, bool)
+    row_free[rows] = False
+    col_free[cols] = False
+    pairs = list(zip(rows.tolist(), cols.tolist()))
+    return pairs, np.flatnonzero(row_free).tolist(), np.flatnonzero(col_free).tolist()
+
+
+def _unit(v: np.ndarray) -> np.ndarray:
+    v = np.asarray(v, float)
+    return v / max(float(np.linalg.norm(v)), 1e-12)
+
+
+class _Motion:
+    """Constant-velocity Kalman over xyxy corners (8 states, 4 measured).
+
+    All noise scales are proportional to the current box extent, echoing
+    DeepSORT's width/height-relative uncertainty model: the bigger the
+    object, the looser the filter.
+    """
+
+    INIT_POS_DIV = 10.0
+    INIT_VEL_DIV = 16.0
+    PROC_POS_DIV = 20.0
+    PROC_VEL_DIV = 160.0
+    MEAS_DIV = 20.0
+
+    def __init__(self, box: np.ndarray):
+        f = np.eye(8)
+        f[:4, 4:] = np.eye(4)          # x' = x + v
+        kf = KalmanFilter(dim_x=8, dim_z=4)
+        kf.x[:4] = box
+        kf.F = f
+        kf.H = np.eye(4, 8)
+        sigma = np.concatenate([
+            self._extent_vec(box) / self.INIT_POS_DIV,
+            self._extent_vec(box) / self.INIT_VEL_DIV,
+        ])
+        kf.P = np.diag(np.square(sigma))
+        self._kf = kf
+
+    @staticmethod
+    def _extent_vec(box: np.ndarray) -> np.ndarray:
+        """[w, h, w, h] of an xyxy box — the per-coordinate scale. Floored
+        so degenerate boxes can't make the noise covariances singular."""
+        wh = np.asarray(box[2:4]) - np.asarray(box[:2])
+        wh = np.maximum(np.abs(wh), 1e-3)
+        return np.concatenate([wh, wh])
+
+    @property
+    def box(self) -> np.ndarray:
+        return self._kf.x[:4].copy()
+
+    def predict(self) -> None:
+        scale = self._extent_vec(self._kf.x[:4])
+        sigma = np.concatenate([scale / self.PROC_POS_DIV,
+                                scale / self.PROC_VEL_DIV])
+        self._kf.predict(Q=np.diag(np.square(sigma)))
+
+    def correct(self, measured_box: np.ndarray) -> np.ndarray:
+        sigma = self._extent_vec(self._kf.x[:4]) / self.MEAS_DIV
+        self._kf.update(np.asarray(measured_box, float),
+                        R=np.diag(np.square(sigma)))
+        return self.box
 
 
 class Track:
-    """Track state machine UNCONFIRMED -> ACTIVE <-> INACTIVE -> TO_DELETE
-    with EMA-smoothed L2-normalized embeddings and optional constant-velocity
-    Kalman on box corners (reference tracker.py:217-352)."""
+    """One tracked object: lifecycle state + box + smoothed appearance."""
 
     def __init__(self, track_id, bbox, label, embedding, min_birth_age: int = 2,
                  max_inactive_age: int = 30, smoothing_factor: float = 0.9,
                  use_kalman: bool = False):
         self.track_id = track_id
+        self.label = label
+        self.bbox = np.asarray(bbox, float)
+        self.embedding = _unit(embedding)
+
         self.state = TrackState.UNCONFIRMED
         self.birth_age = 0
         self.inactive_age = 0
-
-        self.bbox = np.asarray(bbox, float)
-        self.label = label
-        embedding = np.asarray(embedding, float)
-        self.embedding = embedding / max(np.linalg.norm(embedding), 1e-12)
-
         self.min_birth_age = min_birth_age
         self.max_inactive_age = max_inactive_age
         self.smoothing_factor = smoothing_factor
 
-        self.kf: Optional[KalmanFilter] = None
-        if use_kalman:
-            kf = KalmanFilter(dim_x=8, dim_z=4)
-            kf.x[:4] = self.bbox
-            kf.F = np.eye(8)
-            kf.F[:4, 4:] = np.eye(4)
-            kf.H = np.eye(4, 8)
-            wh = self.bbox[2:] - self.bbox[:2]
-            std = np.tile(wh, 4)
-            std[:4] /= 10    # position std = wh/10 (DeepSORT-adapted)
-            std[4:] /= 16    # velocity std = wh/16
-            kf.P = np.diag(std ** 2)
-            self.kf = kf
+        self.motion = _Motion(self.bbox) if use_kalman else None
+
+    # -- state queries ---------------------------------------------------
 
     @property
     def active(self) -> bool:
-        return self.state == TrackState.ACTIVE
+        return self.state is TrackState.ACTIVE
 
     @property
     def confirmed(self) -> bool:
-        return self.state != TrackState.UNCONFIRMED
+        return self.state is not TrackState.UNCONFIRMED
 
     @property
     def to_delete(self) -> bool:
-        return self.state == TrackState.TO_DELETE
+        return self.state is TrackState.TO_DELETE
 
-    def kalman_predict(self):
-        if self.kf is None:
-            return
-        wh = self.kf.x[2:4] - self.kf.x[:2]
-        process_std = np.tile(wh, 4)
-        process_std[:4] /= 20
-        process_std[4:] /= 160
-        self.kf.predict(Q=np.diag(process_std ** 2))
+    # -- per-frame events --------------------------------------------------
 
-    def update_matched(self, bbox, embedding):
-        if self.state == TrackState.UNCONFIRMED:
+    def update_matched(self, bbox, embedding) -> None:
+        """A detection was assigned to this track this frame."""
+        if self.state is TrackState.UNCONFIRMED:
             self.birth_age += 1
             if self.birth_age >= self.min_birth_age:
                 self.state = TrackState.ACTIVE
-        elif self.state == TrackState.INACTIVE:
-            self.state = TrackState.ACTIVE
+        elif self.state is TrackState.INACTIVE:
             self.inactive_age = 0
+            self.state = TrackState.ACTIVE
 
-        bbox = np.asarray(bbox, float)
-        if self.kf is None:
-            self.bbox = bbox
-        else:
-            wh = self.kf.x[2:4] - self.kf.x[:2]
-            measure_std = np.tile(wh, 2) / 20
-            self.kf.update(bbox, R=np.diag(measure_std ** 2))
-            self.bbox = self.kf.x[:4].copy()
+        measured = np.asarray(bbox, float)
+        self.bbox = (measured if self.motion is None
+                     else self.motion.correct(measured))
 
-        embedding = np.asarray(embedding, float)
-        embedding = embedding / max(np.linalg.norm(embedding), 1e-12)
-        self.embedding = (
-            (1 - self.smoothing_factor) * self.embedding
-            + self.smoothing_factor * embedding
-        )
+        alpha = self.smoothing_factor
+        self.embedding = (1.0 - alpha) * self.embedding + alpha * _unit(embedding)
 
-    def update_unmatched(self):
-        if self.state == TrackState.UNCONFIRMED:
+    def update_unmatched(self) -> None:
+        """No detection for this track this frame."""
+        if self.state is TrackState.UNCONFIRMED:
             self.state = TrackState.TO_DELETE
-        elif self.state == TrackState.ACTIVE:
+        elif self.state is TrackState.ACTIVE:
             self.state = TrackState.INACTIVE
             self.inactive_age = 0
-        elif self.state == TrackState.INACTIVE:
+        elif self.state is TrackState.INACTIVE:
             self.inactive_age += 1
             if self.inactive_age >= self.max_inactive_age:
                 self.state = TrackState.TO_DELETE
 
-    def __repr__(self):
-        return (f"track id: {self.track_id}, bbox: {self.bbox}, "
-                f"label: {self.label}, embedding: {len(self.embedding)} dim")
+    def kalman_predict(self) -> None:
+        if self.motion is not None:
+            self.motion.predict()
+
+    def __repr__(self) -> str:
+        return (f"Track(id={self.track_id}, state={self.state.name}, "
+                f"bbox={np.round(self.bbox, 2).tolist()}, label={self.label})")
+
+
+_BOX_DISTANCES = {
+    "iou": box_iou_distance_matrix,
+    "giou": box_giou_distance_matrix,
+}
 
 
 class Tracker:
-    """Two-stage association tracker (ReID cosine -> box IoU), reference
-    tracker.py:45-201. `model` is a callable (images) -> dict of numpy
-    {bboxes (N,k,4) normalized xyxy, labels, scores, embeddings} — in this
-    framework that is the jitted forward_and_decode (see api.py wiring)."""
+    """Two-stage association tracker over decoded detections.
+
+    `model`, when given, is a callable (images, num_detections=, nms_kernel=)
+    -> numpy dict {bboxes (N,k,4) normalized xyxy, labels, scores,
+    embeddings} — in this framework the jitted forward_and_decode program
+    (api.py wiring). Without a model, feed `update()` directly.
+    """
 
     def __init__(self, model: Optional[Callable] = None, nms_kernel: int = 3,
                  num_detections: int = 300, detection_threshold: float = 0.3,
@@ -166,19 +220,24 @@ class Tracker:
                  min_birth_age: int = 2):
         self.model = model
         if model is None:
-            warnings.warn("A model was not provided. Only `.update()` will work")
+            warnings.warn(
+                "Tracker built without a model: step_batch/step_single are "
+                "unavailable; drive it through update() with decoded arrays."
+            )
 
         self.nms_kernel = nms_kernel
         self.num_detections = num_detections
         self.detection_threshold = detection_threshold
 
-        if isinstance(reid_cost, str):
-            metric = reid_cost
-            self.reid_cost = lambda a, b: distance.cdist(a, b, metric=metric)
-        else:
+        if callable(reid_cost):
             self.reid_cost = reid_cost
+        else:
+            self.reid_cost = _make_cdist(reid_cost)
         self.reid_threshold = reid_threshold
-        self.box_cost = _box_costs[box_cost] if isinstance(box_cost, str) else box_cost
+        if box_cost is None or callable(box_cost):
+            self.box_cost = box_cost
+        else:
+            self.box_cost = _BOX_DISTANCES[box_cost]
         self.box_threshold = box_threshold
 
         self.smoothing_factor = smoothing_factor
@@ -190,107 +249,118 @@ class Tracker:
         self.next_track_id = 0
         self.tracks: List[Track] = []
 
-    def reset(self):
+    def reset(self) -> None:
         self.frame = 0
         self.next_track_id = 0
         self.tracks = []
 
-    def step_batch(self, images, **kwargs):
-        """Device forward + decode on a batch, then per-frame association
-        (reference tracker.py:83-121). Returns {'bboxes', 'track_ids'} lists."""
-        assert self.model is not None, "Tracker needs a model for step_batch"
-        num_detections = kwargs.get("num_detections", self.num_detections)
-        nms_kernel = kwargs.get("nms_kernel", self.nms_kernel)
+    # -- device-fed stepping -----------------------------------------------
 
+    def step_batch(self, images, **overrides):
+        """Run the device program on a batch of frames, associate each in
+        order. Returns {'bboxes': [...], 'track_ids': [...]} per frame with
+        only ACTIVE tracks."""
+        if self.model is None:
+            raise RuntimeError("step_batch requires a model")
         dets = self.model(
-            images, num_detections=num_detections, nms_kernel=nms_kernel
+            images,
+            num_detections=overrides.get("num_detections", self.num_detections),
+            nms_kernel=overrides.get("nms_kernel", self.nms_kernel),
         )
-        dets = {k: np.asarray(v) for k, v in dets.items()}  # single D2H boundary
+        dets = {k: np.asarray(v) for k, v in dets.items()}  # one D2H boundary
 
-        out = {"bboxes": [], "track_ids": []}
-        for bboxes, labels, scores, embeddings in zip(
-            dets["bboxes"], dets["labels"], dets["scores"], dets["embeddings"]
-        ):
-            self.update(bboxes, labels, scores, embeddings, **kwargs)
+        result = {"bboxes": [], "track_ids": []}
+        for frame_idx in range(len(dets["bboxes"])):
+            self.update(dets["bboxes"][frame_idx], dets["labels"][frame_idx],
+                        dets["scores"][frame_idx],
+                        dets["embeddings"][frame_idx], **overrides)
             self.frame += 1
-            out["bboxes"].append([x.bbox for x in self.tracks if x.active])
-            out["track_ids"].append([x.track_id for x in self.tracks if x.active])
-        return out
+            live = [t for t in self.tracks if t.active]
+            result["bboxes"].append([t.bbox for t in live])
+            result["track_ids"].append([t.track_id for t in live])
+        return result
 
-    def step_single(self, img, **kwargs):
-        out = self.step_batch(img[None], **kwargs)
-        return {k: v[0] for k, v in out.items()}
+    def step_single(self, image, **overrides):
+        batched = self.step_batch(image[None], **overrides)
+        return {k: v[0] for k, v in batched.items()}
 
-    def update(self, bboxes, labels, scores, embeddings, **kwargs):
-        """One frame of association (reference tracker.py:132-201)."""
-        detection_threshold = kwargs.get("detection_threshold", self.detection_threshold)
-        reid_threshold = kwargs.get("reid_threshold", self.reid_threshold)
-        box_threshold = kwargs.get("box_threshold", self.box_threshold)
+    # -- association core --------------------------------------------------
 
-        bboxes = np.asarray(bboxes, float)
-        labels = np.asarray(labels)
-        scores = np.asarray(scores, float)
-        embeddings = np.asarray(embeddings, float)
+    def _associate(self, det_boxes, det_embeddings, reid_threshold,
+                   box_threshold):
+        """Two-stage matching of detections against self.tracks.
 
-        mask = scores >= detection_threshold
-        det_bboxes = bboxes[mask]
-        det_labels = labels[mask]
-        det_embeddings = embeddings[mask]
+        Returns (pairs [(det_i, track_j)], unborn det indices,
+        missed track indices)."""
+        track_embeddings = np.stack([t.embedding for t in self.tracks])
 
-        if len(self.tracks) == 0:
-            unmatched_dets = list(range(len(det_bboxes)))
+        if len(det_boxes):
+            appearance = self.reid_cost(det_embeddings, track_embeddings)
         else:
-            track_embeddings = np.stack([x.embedding for x in self.tracks])
-            track_bboxes = np.stack([x.bbox for x in self.tracks])
+            appearance = np.zeros((0, len(self.tracks)))
+        pairs, free_dets, free_tracks = match_with_threshold(
+            appearance, reid_threshold)
 
-            # stage 1: ReID cosine
-            if len(det_bboxes):
-                reid_cost_matrix = self.reid_cost(det_embeddings, track_embeddings)
-            else:
-                reid_cost_matrix = np.zeros((0, len(self.tracks)))
-            matches, unmatched_dets, unmatched_tracks = match_with_threshold(
-                reid_cost_matrix, reid_threshold
-            )
+        run_stage2 = (self.box_cost is not None and free_dets and free_tracks)
+        if run_stage2:
+            d_idx = np.asarray(free_dets)
+            t_idx = np.asarray(free_tracks)
+            track_boxes = np.stack([self.tracks[j].bbox for j in t_idx])
+            overlap = self.box_cost(det_boxes[d_idx], track_boxes)
+            pairs2, free2_d, free2_t = match_with_threshold(
+                overlap, box_threshold)
+            pairs += [(int(d_idx[a]), int(t_idx[b])) for a, b in pairs2]
+            free_dets = [int(d_idx[a]) for a in free2_d]
+            free_tracks = [int(t_idx[b]) for b in free2_t]
 
-            # stage 2: box IoU on leftovers, indices remapped
-            if self.box_cost is not None and unmatched_dets and unmatched_tracks:
-                det_idx_mapper = dict(enumerate(unmatched_dets))
-                track_idx_mapper = dict(enumerate(unmatched_tracks))
-                box_cost_matrix = self.box_cost(
-                    det_bboxes[unmatched_dets], track_bboxes[unmatched_tracks]
-                )
-                new_matches, unmatched_dets, unmatched_tracks = match_with_threshold(
-                    box_cost_matrix, box_threshold
-                )
-                new_matches = [(det_idx_mapper[x], track_idx_mapper[y])
-                               for x, y in new_matches]
-                unmatched_dets = [det_idx_mapper[x] for x in unmatched_dets]
-                unmatched_tracks = [track_idx_mapper[x] for x in unmatched_tracks]
-                matches.extend(new_matches)
+        return pairs, free_dets, free_tracks
 
-            for det_idx, track_idx in matches:
-                self.tracks[track_idx].update_matched(
-                    det_bboxes[det_idx], det_embeddings[det_idx]
-                )
-            for track_idx in unmatched_tracks:
-                self.tracks[track_idx].update_unmatched()
+    def update(self, bboxes, labels, scores, embeddings, **overrides):
+        """Associate one frame of decoded detections into the track set."""
+        min_score = overrides.get("detection_threshold", self.detection_threshold)
+        reid_thr = overrides.get("reid_threshold", self.reid_threshold)
+        box_thr = overrides.get("box_threshold", self.box_threshold)
 
-        for det_idx in unmatched_dets:
+        keep = np.asarray(scores, float) >= min_score
+        det_boxes = np.asarray(bboxes, float)[keep]
+        det_labels = np.asarray(labels)[keep]
+        det_embeddings = np.asarray(embeddings, float)[keep]
+
+        if self.tracks:
+            pairs, newborn, missed = self._associate(
+                det_boxes, det_embeddings, reid_thr, box_thr)
+            for det_i, track_j in pairs:
+                self.tracks[track_j].update_matched(
+                    det_boxes[det_i], det_embeddings[det_i])
+            for track_j in missed:
+                self.tracks[track_j].update_unmatched()
+        else:
+            newborn = range(len(det_boxes))
+
+        for det_i in newborn:
             self.tracks.append(Track(
-                self.next_track_id, det_bboxes[det_idx], det_labels[det_idx],
-                det_embeddings[det_idx], min_birth_age=self.min_birth_age,
+                self.next_track_id, det_boxes[det_i], det_labels[det_i],
+                det_embeddings[det_i], min_birth_age=self.min_birth_age,
                 max_inactive_age=self.max_inactive_age,
-                smoothing_factor=self.smoothing_factor, use_kalman=self.use_kalman,
+                smoothing_factor=self.smoothing_factor,
+                use_kalman=self.use_kalman,
             ))
             self.next_track_id += 1
 
-        self.tracks = [x for x in self.tracks if not x.to_delete]
-        for track in self.tracks:
-            track.kalman_predict()
+        self.tracks = [t for t in self.tracks if not t.to_delete]
+        for t in self.tracks:
+            t.kalman_predict()
+
+
+def _make_cdist(metric: str):
+    def fn(a, b):
+        return _sp_distance.cdist(a, b, metric=metric)
+
+    return fn
 
 
 def build_tracker(config, model=None) -> Tracker:
-    """Config path / dict -> Tracker (reference tracker.py:354-358)."""
+    """Config path / dict -> Tracker (the `tracker:` config section)."""
     if isinstance(config, str):
         from ..train.config import load_config
 

@@ -94,6 +94,9 @@ def get_topk_from_heatmap(
     """
     scores, labels = peak_class_scores(heatmap, nms_kernel, pseudo_nms,
                                        from_logits=from_logits)
+    # a k larger than the map (small eval images, big tracker defaults)
+    # clamps to H*W instead of erroring
+    num_detections = min(num_detections, scores.shape[-1])
     topk_scores, topk_indices = jax.lax.top_k(scores, num_detections)
     topk_labels = jnp.take_along_axis(labels, topk_indices, axis=-1)
     if from_logits:

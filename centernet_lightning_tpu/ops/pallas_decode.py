@@ -164,6 +164,7 @@ def decode_detections_pallas(
         heatmap, nms_kernel=nms_kernel, from_logits=from_logits,
         interpret=interpret,
     )
+    num_detections = min(num_detections, scores.shape[-1])  # k <= H*W
     topk_scores, topk_indices = jax.lax.top_k(scores, num_detections)
     topk_labels = jnp.take_along_axis(labels, topk_indices, axis=-1)
     if from_logits:

@@ -82,38 +82,44 @@ def make_optimizer(
         lr, max_epochs, steps_per_epoch, warmup_epochs, warmup_decay
     )
 
-    # decoupled-wd mask: True where full weight_decay applies
-    if norm_weight_decay is not None:
-        flat = jax.tree_util.tree_flatten_with_path(params)[0]
-        del flat  # only to validate params is a tree
-
-        def wd_mask(tree):
-            return jax.tree_util.tree_map_with_path(
-                lambda path, _: not _is_norm_param(path), tree
+    def build(wd: float, mask) -> optax.GradientTransformation:
+        name = optimizer.lower()
+        if name == "sgd":
+            return optax.chain(
+                optax.add_decayed_weights(wd, mask=mask),
+                optax.sgd(schedule, momentum=0.9),
             )
-    else:
-        wd_mask = None
-
-    name = optimizer.lower()
-    if name == "sgd":
-        tx = optax.chain(
-            optax.add_decayed_weights(weight_decay, mask=wd_mask),
-            optax.sgd(schedule, momentum=0.9),
-        )
-    elif name == "adam":
-        tx = optax.chain(
-            optax.add_decayed_weights(weight_decay, mask=wd_mask),
-            optax.adam(schedule),
-        )
-    elif name == "adamw":
-        tx = optax.adamw(schedule, weight_decay=weight_decay, mask=wd_mask)
-    elif name == "rmsprop":
-        tx = optax.chain(
-            optax.add_decayed_weights(weight_decay, mask=wd_mask),
-            optax.rmsprop(schedule, momentum=0.9),
-        )
-    else:
+        if name == "adam":
+            return optax.chain(
+                optax.add_decayed_weights(wd, mask=mask),
+                optax.adam(schedule),
+            )
+        if name == "adamw":
+            return optax.adamw(schedule, weight_decay=wd, mask=mask)
+        if name == "rmsprop":
+            return optax.chain(
+                optax.add_decayed_weights(wd, mask=mask),
+                optax.rmsprop(schedule, momentum=0.9),
+            )
         raise KeyError(f"unknown optimizer '{optimizer}'")
+
+    if norm_weight_decay is None:
+        # no special handling: every param gets the full weight_decay
+        tx = build(weight_decay, None)
+    else:
+        # two param groups with different decay, like the reference's
+        # torchvision recipe (meta.py:136-149): norm params get the
+        # norm_weight_decay VALUE (round 1 silently treated any value as 0)
+        def labels(tree):
+            return jax.tree_util.tree_map_with_path(
+                lambda path, _: "norm" if _is_norm_param(path) else "main", tree
+            )
+
+        tx = optax.multi_transform(
+            {"main": build(weight_decay, None),
+             "norm": build(norm_weight_decay, None)},
+            labels,
+        )
 
     if gradient_clip_val:
         tx = optax.chain(optax.clip_by_global_norm(gradient_clip_val), tx)

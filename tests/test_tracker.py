@@ -122,9 +122,9 @@ def test_tracker_with_kalman_smooths():
         tracker.update(*det(bbox, e))
     assert len(tracker.tracks) == 1
     t = tracker.tracks[0]
-    assert t.kf is not None
+    assert t.motion is not None
     # after predict, box moved forward (velocity learned)
-    assert t.kf.x[0] > t.bbox[0] - 1e-6
+    assert t.motion.box[0] > t.bbox[0] - 1e-6
 
 
 def test_box_np_utils():
