@@ -35,6 +35,9 @@ def _pad_batch(batch: List[Dict], keys, max_boxes: Optional[int]) -> Dict[str, n
         out["ids"] = np.zeros((n, k), np.int32)
     if all("image_id" in x for x in batch):
         out["image_id"] = np.asarray([x["image_id"] for x in batch], np.int64)
+    if n > 0 and all("sequence_id" in x for x in batch):
+        out["sequence_id"] = np.asarray(
+            [x["sequence_id"] for x in batch], np.int64)
     has_crowd = n > 0 and all("iscrowd" in x for x in batch)
     if has_crowd:
         out["iscrowd"] = np.zeros((n, k), np.int32)

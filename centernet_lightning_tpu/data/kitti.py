@@ -129,4 +129,5 @@ class KITTITrackingDataset:
         sample = self.sequences[s].get_raw(i, id_offset=self.id_offsets[s])
         if self.transforms is not None:
             sample = self.transforms(sample)
+        sample["sequence_id"] = s
         return sample

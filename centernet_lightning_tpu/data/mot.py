@@ -127,4 +127,7 @@ class MOTTrackingDataset:
         sample = self.sequences[s].get_raw(i, id_offset=self.id_offsets[s])
         if self.transforms is not None:
             sample = self.transforms(sample)
+        # sequence boundary marker: validation resets the tracker and
+        # evaluates per sequence (reference eval/mot_challenge.py:9-83)
+        sample["sequence_id"] = s
         return sample

@@ -83,7 +83,7 @@ def clear_metrics(gt_frames, pred_frames, iou_threshold: float = 0.5) -> Dict[st
     mota = 1.0 - (num_fn + num_fp + num_idsw) / max(1, num_gt)
     motp = motp_sum / max(1, num_tp)
     return {
-        "MOTA": mota, "MOTP": motp,
+        "MOTA": mota, "MOTP": motp, "CLR_GT": num_gt,
         "CLR_TP": num_tp, "CLR_FN": num_fn, "CLR_FP": num_fp, "IDSW": num_idsw,
     }
 
@@ -142,7 +142,14 @@ def hota_score(gt_frames, pred_frames) -> Dict[str, float]:
     nG, nP = len(gt_ids_all), len(pr_ids_all)
     if nG == 0 or nP == 0:
         det = 0.0 if (nG or nP) else 1.0
-        return {"HOTA": det, "DetA": det, "AssA": det}
+        n_alpha = len(alphas)
+        n_gt_det = sum(len(ids) for _, ids in gt_frames)
+        n_pr_det = sum(len(ids) for _, ids in pred_frames)
+        return {"HOTA": det, "DetA": det, "AssA": det,
+                "_tp": np.zeros(n_alpha),
+                "_fn": np.full(n_alpha, float(n_gt_det)),
+                "_fp": np.full(n_alpha, float(n_pr_det)),
+                "_assa": np.full(n_alpha, det)}
 
     # pass 1: global alignment score
     pot = np.zeros((nG, nP))
@@ -166,6 +173,7 @@ def hota_score(gt_frames, pred_frames) -> Dict[str, float]:
 
     # pass 2: per-alpha matching
     hotas, detas, assas = [], [], []
+    tps, fns, fps = [], [], []
     for alpha in alphas:
         tp = fn = fp = 0
         match_count = np.zeros((nG, nP))
@@ -201,11 +209,20 @@ def hota_score(gt_frames, pred_frames) -> Dict[str, float]:
         detas.append(deta)
         assas.append(assa)
         hotas.append(np.sqrt(deta * assa))
+        tps.append(tp)
+        fns.append(fn)
+        fps.append(fp)
 
     return {
         "HOTA": float(np.mean(hotas)),
         "DetA": float(np.mean(detas)),
         "AssA": float(np.mean(assas)),
+        # per-alpha counters for multi-sequence combination
+        # (TrackEval combine_sequences: sum counts, TP-weight AssA)
+        "_tp": np.asarray(tps, np.float64),
+        "_fn": np.asarray(fns, np.float64),
+        "_fp": np.asarray(fps, np.float64),
+        "_assa": np.asarray(assas, np.float64),
     }
 
 
@@ -221,4 +238,64 @@ def evaluate_mot_tracking_sequence(
     out.update({"MOTA": clear_metrics(gt_frames, pred_frames)["MOTA"]})
     out.update({"IDF1": idf1_score(gt_frames, pred_frames)["IDF1"]})
     out.update({"HOTA": hota_score(gt_frames, pred_frames)["HOTA"]})
+    return out
+
+
+def evaluate_mot_tracking_sequences(per_sequence: Dict) -> Dict[str, float]:
+    """Evaluate each sequence SEPARATELY, then combine counters the
+    TrackEval way (the reference evaluates one tracker per sequence,
+    eval/mot_challenge.py:9-83 + fairmot.py:87-136; pooling frames across
+    sequences corrupts IDSW/IDF1/HOTA at every boundary).
+
+    per_sequence: {name: {'pred_bboxes', 'pred_track_ids',
+                          'target_bboxes', 'target_track_ids'}}
+    Returns combined {HOTA, MOTA, IDF1} plus per-sequence
+    '<name>/HOTA|MOTA|IDF1'.
+
+    Combination (TrackEval combine_sequences):
+     - CLEAR: sum GT/FN/FP/IDSW -> MOTA = 1 - (FN+FP+IDSW)/GT
+     - Identity: sum IDTP/IDFN/IDFP -> IDF1 = 2*IDTP/(2*IDTP+IDFN+IDFP)
+     - HOTA: per-alpha sum TP/FN/FP; AssA = TP-weighted mean; finally
+       HOTA = mean_alpha sqrt(DetA*AssA)
+    """
+    clr = {"CLR_GT": 0, "CLR_FN": 0, "CLR_FP": 0, "IDSW": 0}
+    ident = {"IDTP": 0.0, "IDFN": 0.0, "IDFP": 0.0}
+    hota_tp = hota_fn = hota_fp = hota_ass = None
+    out: Dict[str, float] = {}
+
+    for name, seq in per_sequence.items():
+        gt_frames = _as_frames(seq["target_bboxes"], seq["target_track_ids"])
+        pred_frames = _as_frames(seq["pred_bboxes"], seq["pred_track_ids"])
+
+        c = clear_metrics(gt_frames, pred_frames)
+        i = idf1_score(gt_frames, pred_frames)
+        h = hota_score(gt_frames, pred_frames)
+        out[f"{name}/MOTA"] = c["MOTA"]
+        out[f"{name}/IDF1"] = i["IDF1"]
+        out[f"{name}/HOTA"] = h["HOTA"]
+
+        for key in clr:
+            clr[key] += c[key]
+        for key in ident:
+            ident[key] += i[key]
+        if hota_tp is None:
+            hota_tp = np.zeros_like(h["_tp"])
+            hota_fn = np.zeros_like(h["_fn"])
+            hota_fp = np.zeros_like(h["_fp"])
+            hota_ass = np.zeros_like(h["_assa"])
+        hota_tp += h["_tp"]
+        hota_fn += h["_fn"]
+        hota_fp += h["_fp"]
+        hota_ass += h["_assa"] * h["_tp"]
+
+    out["MOTA"] = 1.0 - (clr["CLR_FN"] + clr["CLR_FP"] + clr["IDSW"]) / max(
+        1, clr["CLR_GT"])
+    out["IDF1"] = 2 * ident["IDTP"] / max(
+        _EPS, 2 * ident["IDTP"] + ident["IDFN"] + ident["IDFP"])
+    if hota_tp is None:
+        out["HOTA"] = 1.0
+    else:
+        deta = hota_tp / np.maximum(_EPS, hota_tp + hota_fn + hota_fp)
+        assa = hota_ass / np.maximum(_EPS, hota_tp)
+        out["HOTA"] = float(np.mean(np.sqrt(deta * assa)))
     return out

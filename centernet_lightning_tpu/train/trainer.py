@@ -20,7 +20,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..eval.coco_eval import CocoEvaluator
-from ..eval.mot import evaluate_mot_tracking_sequence
 from ..models.meta import param_count_report
 from ..models.tracker import Tracker
 from ..parallel.mesh import (
@@ -315,28 +314,44 @@ class Trainer:
         return {f"val/{k}": v for k, v in evaluator.get_metrics().items()}
 
     def validate_tracking(self) -> Dict[str, float]:
-        """MOT validation: tracker.update per frame + HOTA/MOTA/IDF1
-        (reference fairmot.py:87-136)."""
+        """MOT validation: one tracker per SEQUENCE (reset at boundaries,
+        reference eval/mot_challenge.py:9-83 + fairmot.py:87-136), metrics
+        combined TrackEval-style across sequences."""
+        from ..eval.mot import evaluate_mot_tracking_sequences
+
         tracker = Tracker(model=None, **self.tracker_config)
-        pred_b, pred_i, gt_b, gt_i = [], [], [], []
+        per_seq: Dict[int, Dict[str, list]] = {}
+        current_seq = None
         for batch in self.val_loader:
             sharded = self._shard(batch)
             dets = jax.device_get(self.eval_step(self.state, sharded))
             n = batch["image"].shape[0]
             in_h, in_w = batch["image"].shape[1:3]
+            scale = np.array([in_w, in_h, in_w, in_h])
+            seq_ids = batch.get("sequence_id", np.zeros(n, np.int64))
             for i in range(n):
+                sid = int(seq_ids[i])
+                if sid != current_seq:
+                    tracker.reset()
+                    current_seq = sid
+                entry = per_seq.setdefault(sid, {
+                    "pred_bboxes": [], "pred_track_ids": [],
+                    "target_bboxes": [], "target_track_ids": [],
+                })
                 tracker.update(
-                    dets["boxes"][i] / np.array([in_w, in_h, in_w, in_h]),
+                    dets["boxes"][i] / scale,
                     dets["labels"][i], dets["scores"][i], dets["embeddings"][i],
                 )
-                pred_b.append([
-                    convert_box_format(t.bbox, "xyxy", "xywh")
-                    for t in tracker.tracks if t.active
-                ])
-                pred_i.append([t.track_id for t in tracker.tracks if t.active])
+                live = [t for t in tracker.tracks if t.active]
+                entry["pred_bboxes"].append(
+                    [convert_box_format(t.bbox, "xyxy", "xywh") for t in live])
+                entry["pred_track_ids"].append([t.track_id for t in live])
                 m = batch["mask"][i].astype(bool)
-                boxes = batch["boxes"][i][m] / np.array([in_w, in_h, in_w, in_h])
-                gt_b.append(boxes)
-                gt_i.append(batch["ids"][i][m])
-        metrics = evaluate_mot_tracking_sequence(pred_b, pred_i, gt_b, gt_i)
+                entry["target_bboxes"].append(batch["boxes"][i][m] / scale)
+                entry["target_track_ids"].append(batch["ids"][i][m])
+        metrics = evaluate_mot_tracking_sequences(
+            {f"seq{k}": v for k, v in sorted(per_seq.items())})
+        # per-sequence breakdowns only when there are multiple sequences
+        if len(per_seq) <= 1:
+            metrics = {k: v for k, v in metrics.items() if "/" not in k}
         return {f"val/{k}": v for k, v in metrics.items()}

@@ -69,3 +69,77 @@ def test_empty_frames():
     m = evaluate_mot_tracking_sequence(gt_b, gt_i, gt_b, gt_i)
     assert m["MOTA"] == pytest.approx(1.0)
     assert m["IDF1"] == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# per-sequence evaluation + TrackEval-style combination (VERDICT item 6)
+# ---------------------------------------------------------------------------
+
+
+def _perfect_seq(n_frames, gt_ids, pred_ids, x0=10.0):
+    """A sequence where predictions perfectly overlap GT every frame, with
+    the given id arrays (pred ids may differ from gt ids)."""
+    import numpy as np
+
+    b, pi, gb, gi = [], [], [], []
+    for f in range(n_frames):
+        boxes = np.array([[x0 + 2 * f + 30 * k, 10, 10, 10]
+                          for k in range(len(gt_ids))])
+        gb.append(boxes)
+        gi.append(np.asarray(gt_ids))
+        b.append(boxes.copy())
+        pi.append(np.asarray(pred_ids))
+    return {"pred_bboxes": b, "pred_track_ids": pi,
+            "target_bboxes": gb, "target_track_ids": gi}
+
+
+def test_per_sequence_combination_perfect():
+    from centernet_lightning_tpu.eval.mot import evaluate_mot_tracking_sequences
+
+    seqs = {"a": _perfect_seq(5, [0, 1], [0, 1]),
+            "b": _perfect_seq(7, [2, 3], [0, 1])}  # fresh tracker ids restart
+    m = evaluate_mot_tracking_sequences(seqs)
+    assert m["MOTA"] == pytest.approx(1.0)
+    assert m["IDF1"] == pytest.approx(1.0)
+    assert m["HOTA"] == pytest.approx(1.0)
+    assert m["a/MOTA"] == pytest.approx(1.0)
+    assert m["b/HOTA"] == pytest.approx(1.0)
+
+
+def test_pooled_frames_corrupt_identity_metrics():
+    """The round-1 bug this fixes: pooling two sequences into one frame
+    stream makes restarted pred ids collide across the boundary, corrupting
+    IDF1 — per-sequence evaluation keeps it at 1.0."""
+    import numpy as np
+    from centernet_lightning_tpu.eval.mot import (
+        evaluate_mot_tracking_sequence, evaluate_mot_tracking_sequences)
+
+    s1 = _perfect_seq(6, [0, 1], [0, 1])
+    s2 = _perfect_seq(6, [2, 3], [0, 1])
+
+    per_seq = evaluate_mot_tracking_sequences({"s1": s1, "s2": s2})
+    assert per_seq["IDF1"] == pytest.approx(1.0)
+
+    pooled = evaluate_mot_tracking_sequence(
+        s1["pred_bboxes"] + s2["pred_bboxes"],
+        s1["pred_track_ids"] + s2["pred_track_ids"],
+        s1["target_bboxes"] + s2["target_bboxes"],
+        s1["target_track_ids"] + s2["target_track_ids"])
+    assert pooled["IDF1"] < 0.75  # pred id 0 claims both gt 0 and gt 2
+
+
+def test_combined_counters_match_manual():
+    """Combined MOTA = 1 - (sum FN + FP + IDSW) / sum GT across sequences."""
+    import numpy as np
+    from centernet_lightning_tpu.eval.mot import (
+        clear_metrics, evaluate_mot_tracking_sequences, _as_frames)
+
+    good = _perfect_seq(4, [0], [0])
+    # a sequence with one missed frame (prediction absent on frame 2)
+    bad = _perfect_seq(4, [1], [5])
+    bad["pred_bboxes"][2] = np.zeros((0, 4))
+    bad["pred_track_ids"][2] = np.zeros((0,), np.int64)
+
+    m = evaluate_mot_tracking_sequences({"g": good, "b": bad})
+    # GT dets: 4 + 4 = 8; errors: 1 FN (frame 2 of 'b')
+    assert m["MOTA"] == pytest.approx(1.0 - 1.0 / 8.0)
