@@ -17,7 +17,8 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import orbax.checkpoint as ocp
 
-__all__ = ["save_checkpoint", "load_checkpoint", "latest_checkpoint"]
+__all__ = ["save_checkpoint", "load_checkpoint", "latest_checkpoint",
+           "restore_partial"]
 
 _STEP_RE = re.compile(r"^step_(\d+)$")
 
@@ -92,3 +93,57 @@ def load_checkpoint(
         with open(hp_path) as f:
             hparams = json.load(f)
     return state, hparams
+
+
+def _merge_overlap(dst, src, path=""):
+    """Recursively take `src` leaves whose key path AND shape match `dst`;
+    keep `dst` elsewhere. Returns (merged, loaded_paths, skipped_paths)."""
+    loaded, skipped = [], []
+    if not isinstance(dst, dict) or not isinstance(src, dict):
+        dst_shape = getattr(dst, "shape", None)
+        src_shape = getattr(src, "shape", None)
+        if dst_shape == src_shape:
+            return src, [path], []
+        return dst, [], [f"{path} (shape {src_shape} vs {dst_shape})"]
+    merged = {}
+    for key, dval in dst.items():
+        if key in src:
+            m, l, s = _merge_overlap(dval, src[key], f"{path}/{key}")
+            merged[key] = m
+            loaded += l
+            skipped += s
+        else:
+            merged[key] = dval
+            skipped.append(f"{path}/{key} (absent in source)")
+    return merged, loaded, skipped
+
+
+def restore_partial(path: str, variables: Dict[str, Any],
+                    verbose: bool = True) -> Dict[str, Any]:
+    """Finetune-style weight restore: overlapping, shape-matching params
+    (and batch_stats) are taken from the checkpoint; everything else —
+    missing keys, shape mismatches like a classifier over a different
+    max_track_ids — keeps its fresh initialization.
+
+    The reference's `model.load_from_checkpoint` finetune key
+    (configs/mot_tracking.yaml:3, docs/training.md:39-47, the
+    shape-tolerant loader sketch at fairmot.py:219-241). Enables the
+    CrowdHuman-pretrain -> MOT-finetune recipe.
+    """
+    state, _ = load_checkpoint(path)
+    out = dict(variables)
+    total_loaded, total_skipped = [], []
+    for col in ("params", "batch_stats"):
+        if col in variables and col in state:
+            merged, loaded, skipped = _merge_overlap(
+                variables[col], state[col], col)
+            out[col] = merged
+            total_loaded += loaded
+            total_skipped += skipped
+    if verbose and jax.process_index() == 0:
+        print(f"finetune restore from {path}: "
+              f"{len(total_loaded)} tensors loaded, "
+              f"{len(total_skipped)} kept fresh")
+        for s in total_skipped[:20]:
+            print(f"  skipped {s}")
+    return out

@@ -93,6 +93,10 @@ def normalize_config(config: Dict[str, Any]) -> Dict[str, Any]:
         "box_loss_weight": box.get("loss_weight", 0.1),
         "box_init_bias": box.get("init_bias"),
     }
+    if model.get("load_from_checkpoint"):
+        # Gen-A finetune key (reference configs/mot_tracking.yaml:3)
+        new_model["load_from_checkpoint"] = model["load_from_checkpoint"]
+
     reid = heads.get("reid")
     if reid:
         new_model["reid_config"] = {

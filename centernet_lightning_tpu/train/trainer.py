@@ -55,6 +55,7 @@ class Trainer:
         tracker_config: Optional[Dict[str, Any]] = None,
         precision: Optional[str] = None,   # 'bf16'/'bfloat16'/16 -> bf16 fwd/bwd
         diagnostics: bool = True,          # heatmap-grid image at fit start
+        finetune_from: Optional[str] = None,  # partial weight restore
     ):
         self.task = task
         self.train_loader = train_loader
@@ -90,6 +91,13 @@ class Trainer:
         steps_per_epoch = len(train_loader) if train_loader else 1
         rng = jax.random.PRNGKey(seed)
         variables = task.init(rng, image_size=self.image_size)
+        if finetune_from:
+            # the reference's load_from_checkpoint finetune key
+            # (configs/mot_tracking.yaml:3): overlapping shape-matching
+            # weights restored, the rest (new heads/classifier) stay fresh
+            from .checkpoint import restore_partial
+
+            variables = restore_partial(finetune_from, variables)
         self.tx = make_optimizer(
             variables["params"], max_epochs=max_epochs,
             steps_per_epoch=steps_per_epoch, **opt_cfg,
@@ -119,6 +127,8 @@ class Trainer:
         self.train_step = make_train_step(task, compute_dtype=compute_dtype)
         self.eval_step = make_eval_step(task)
         self.best_metric = -np.inf if monitor_mode == "max" else np.inf
+        if hasattr(self, "_resumed_best"):
+            self.best_metric = self._resumed_best
         self.diagnostics = diagnostics
 
     # ------------------------------------------------------------------
@@ -135,6 +145,7 @@ class Trainer:
             "opt_state": jax.device_get(self.state.opt_state),
             "step": 0,
             "epoch": 0,
+            "best_metric": 0.0,
         }
         restored, _ = load_checkpoint(latest, target=target)
         self.state = self.state.replace(
@@ -144,6 +155,9 @@ class Trainer:
             step=jnp.asarray(restored["step"], jnp.int32),
         )
         self.start_epoch = int(restored.get("epoch", 0))
+        # restore the monitored best so auto-resume can't overwrite the
+        # real best checkpoint with a worse first validation
+        self._resumed_best = float(restored.get("best_metric", 0.0))
         if jax.process_index() == 0:
             print(f"resumed from {latest} (epoch {self.start_epoch})")
 
@@ -156,6 +170,7 @@ class Trainer:
             "opt_state": jax.device_get(self.state.opt_state),
             "step": int(self.state.step),
             "epoch": epoch,
+            "best_metric": float(self.best_metric),
         }
         # best checkpoints go to a tagged subdir (ModelCheckpoint monitor
         # semantics, reference configs/centernet.yaml:103-106); untagged

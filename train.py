@@ -101,6 +101,8 @@ def main():
         profile=args.profile,
         tracker_config=config.get("tracker", {}),
         precision=trainer_cfg.get("precision"),
+        finetune_from=(model_cfg.get("load_from_checkpoint")
+                       or model_cfg.get("finetune_from")),
     )
     trainer.fit()
 
