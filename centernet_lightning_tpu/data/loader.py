@@ -65,19 +65,53 @@ class DataLoader:
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()  # set when the consumer abandons iteration
 
         def producer():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for idxs in self._batches():
-                    items = list(pool.map(self.dataset.__getitem__, map(int, idxs)))
-                    q.put(self.collate_fn(items))
-            q.put(sentinel)
+            # dataset errors (missing/corrupt images, ...) are forwarded to
+            # the consumer and re-raised there; the sentinel ALWAYS lands so
+            # iteration can never block forever on a dead producer
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for idxs in self._batches():
+                        items = list(
+                            pool.map(self.dataset.__getitem__, map(int, idxs))
+                        )
+                        batch = self.collate_fn(items)
+                        while not stop.is_set():
+                            try:
+                                q.put(batch, timeout=0.1)
+                                break
+                            except queue.Full:
+                                continue
+                        if stop.is_set():
+                            return
+            except BaseException as exc:  # noqa: BLE001 - forwarded
+                while not stop.is_set():
+                    try:
+                        q.put(exc, timeout=0.1)
+                        return
+                    except queue.Full:
+                        continue
+            finally:
+                while not stop.is_set():
+                    try:
+                        q.put(sentinel, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
-        while True:
-            batch = q.get()
-            if batch is sentinel:
-                break
-            yield batch
-        thread.join()
+        try:
+            while True:
+                batch = q.get()
+                if batch is sentinel:
+                    break
+                if isinstance(batch, BaseException):
+                    raise batch
+                yield batch
+        finally:
+            # unblocks the producer if the consumer broke out early
+            stop.set()
+            thread.join(timeout=5)

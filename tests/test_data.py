@@ -284,3 +284,51 @@ def test_builder_with_mosaic(coco_dir):
     item = ds[0]
     assert item["image"].shape == (64, 64, 3)
     assert item["image"].dtype == np.float32  # Normalize ran post-mosaic
+
+
+def test_loader_propagates_dataset_errors():
+    """ADVICE r1: a dataset error must surface to the consumer, not hang
+    the iterator forever on a dead producer thread."""
+    import pytest
+    from centernet_lightning_tpu.data.loader import DataLoader
+
+    class Exploding:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 5:
+                raise FileNotFoundError("missing_image.jpg")
+            return {"x": i}
+
+    loader = DataLoader(Exploding(), batch_size=2, num_workers=2,
+                        collate_fn=lambda items: items)
+    with pytest.raises(FileNotFoundError, match="missing_image"):
+        for _ in loader:
+            pass
+
+
+def test_loader_early_break_unblocks_producer():
+    """Abandoning iteration mid-epoch must not leave the producer blocked
+    on a full queue."""
+    import threading
+    import time
+    from centernet_lightning_tpu.data.loader import DataLoader
+
+    class Slow:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            return {"x": i}
+
+    loader = DataLoader(Slow(), batch_size=2, num_workers=2, prefetch=1,
+                        collate_fn=lambda items: items)
+    before = threading.active_count()
+    it = iter(loader)
+    next(it)
+    it.close()  # the consumer walks away
+    deadline = time.time() + 5
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "producer thread leaked"
