@@ -26,8 +26,8 @@ IMAGENET_STD = (0.229, 0.224, 0.225)
 __all__ = [
     "Compose", "Resize", "SmallestMaxSize", "LongestMaxSize", "RandomCrop",
     "CenterCrop", "RandomResizedCrop", "PadIfNeeded", "HorizontalFlip",
-    "VerticalFlip", "ColorJitter", "Normalize", "TrivialAugmentWide",
-    "Mosaic", "TRANSFORMS", "build_transforms",
+    "VerticalFlip", "ColorJitter", "Normalize", "Affine",
+    "TrivialAugmentWide", "TRANSFORMS", "build_transforms",
 ]
 
 
@@ -265,15 +265,87 @@ class Normalize(Transform):
         return sample
 
 
-class TrivialAugmentWide(Transform):
-    """One random color/geometry op at a random strength — the reference's
-    albumentations OneOf port (datasets/transforms.py:8-26)."""
+def _affine_matrix(w: int, h: int, rotate: float = 0.0, shear_x: float = 0.0,
+                   shear_y: float = 0.0, tx: float = 0.0, ty: float = 0.0):
+    """2x3 affine about the image center: rotate(deg) @ shear(deg) then
+    translate(px)."""
+    cx, cy = w / 2.0, h / 2.0
+    to_origin = np.array([[1, 0, -cx], [0, 1, -cy], [0, 0, 1]], np.float64)
+    a = np.deg2rad(rotate)
+    rot = np.array([[np.cos(a), -np.sin(a), 0],
+                    [np.sin(a), np.cos(a), 0], [0, 0, 1]], np.float64)
+    shear = np.array([[1, np.tan(np.deg2rad(shear_x)), 0],
+                      [np.tan(np.deg2rad(shear_y)), 1, 0],
+                      [0, 0, 1]], np.float64)
+    back = np.array([[1, 0, cx + tx], [0, 1, cy + ty], [0, 0, 1]], np.float64)
+    return (back @ rot @ shear @ to_origin)[:2]
 
-    def __init__(self, p: float = 1.0):
+
+def _warp_sample(sample, mat):
+    """cv2.warpAffine the image; boxes map by transforming all 4 corners and
+    taking the enclosing AABB (Compose's final filter clips/drops)."""
+    img = sample["image"]
+    h, w = img.shape[:2]
+    sample["image"] = cv2.warpAffine(img, mat, (w, h))
+    boxes = sample.get("bboxes")
+    if boxes is not None and len(boxes):
+        x, y, bw, bh = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+        corners = np.stack([
+            np.stack([x, y], -1), np.stack([x + bw, y], -1),
+            np.stack([x, y + bh], -1), np.stack([x + bw, y + bh], -1),
+        ], axis=1)                                     # (K, 4, 2)
+        ones = np.ones((*corners.shape[:2], 1))
+        warped = np.concatenate([corners, ones], -1) @ mat.T   # (K, 4, 2)
+        x1 = warped[..., 0].min(1)
+        y1 = warped[..., 1].min(1)
+        x2 = warped[..., 0].max(1)
+        y2 = warped[..., 1].max(1)
+        sample["bboxes"] = np.stack([x1, y1, x2 - x1, y2 - y1], -1).astype(np.float32)
+    return sample
+
+
+class Affine(Transform):
+    """Random affine: each scalar arg v samples uniformly in (-v, v)
+    (albumentations A.Affine convention; reference transforms.py:11-15).
+    rotate/shear in degrees, translate in pixels."""
+
+    def __init__(self, rotate: float = 0.0, shear_x: float = 0.0,
+                 shear_y: float = 0.0, translate_x: float = 0.0,
+                 translate_y: float = 0.0, p: float = 1.0):
+        self.rotate, self.shear_x, self.shear_y = rotate, shear_x, shear_y
+        self.translate_x, self.translate_y, self.p = translate_x, translate_y, p
+
+    def apply(self, sample, rng):
+        h, w = sample["image"].shape[:2]
+        draw = lambda v: float(rng.uniform(-v, v)) if v else 0.0
+        mat = _affine_matrix(
+            w, h, rotate=draw(self.rotate),
+            shear_x=draw(self.shear_x), shear_y=draw(self.shear_y),
+            tx=draw(self.translate_x), ty=draw(self.translate_y),
+        )
+        return _warp_sample(sample, mat)
+
+
+class TrivialAugmentWide(Transform):
+    """One random op at a random strength per call — the reference's
+    12-op albumentations OneOf (datasets/transforms.py:8-26): 5 geometric
+    (shear x/y to 45deg, translate x/y to 32px, rotate to 135deg; random
+    sign) + 7 photometric. Default p = num_ops/(num_ops+1) matches the
+    reference's OneOf probability."""
+
+    def __init__(self, p: float = 12.0 / 13.0):
         self.p = p
 
     def apply(self, sample, rng):
+        h, w = sample["image"].shape[:2]
+        sign = 1.0 if rng.uniform() < 0.5 else -1.0
+        geo = lambda s, **kw: _warp_sample(s, _affine_matrix(w, h, **kw))
         ops = [
+            lambda s, m: geo(s, shear_x=45 * m * sign),
+            lambda s, m: geo(s, shear_y=45 * m * sign),
+            lambda s, m: geo(s, tx=32 * m * sign),
+            lambda s, m: geo(s, ty=32 * m * sign),
+            lambda s, m: geo(s, rotate=135 * m * sign),
             lambda s, m: ColorJitter(brightness=m, contrast=0, saturation=0).apply(s, rng),
             lambda s, m: ColorJitter(brightness=0, contrast=m, saturation=0).apply(s, rng),
             lambda s, m: ColorJitter(brightness=0, contrast=0, saturation=m).apply(s, rng),
@@ -281,7 +353,6 @@ class TrivialAugmentWide(Transform):
             lambda s, m: self._solarize(s, m),
             lambda s, m: self._equalize(s, m),
             lambda s, m: self._sharpen(s, m, rng),
-            lambda s, m: HorizontalFlip(p=1.0).apply(s, rng),
         ]
         op = ops[int(rng.integers(0, len(ops)))]
         return op(sample, float(rng.uniform(0.0, 0.99)))
@@ -312,17 +383,6 @@ class TrivialAugmentWide(Transform):
         img = sample["image"].astype(np.float32)
         blur = cv2.GaussianBlur(img, (3, 3), 0)
         sample["image"] = np.clip(img + m * (img - blur), 0, 255).astype(np.uint8)
-        return sample
-
-
-class Mosaic(Transform):
-    """4-image mosaic — stub matching the reference's unimplemented Mosaic
-    (datasets/transforms.py:29-34). No-op on a single sample."""
-
-    def __init__(self, p: float = 1.0, **kwargs):
-        self.p = p
-
-    def apply(self, sample, rng):
         return sample
 
 
@@ -373,7 +433,7 @@ TRANSFORMS = {
     for cls in (
         Resize, SmallestMaxSize, LongestMaxSize, RandomCrop, CenterCrop,
         RandomResizedCrop, PadIfNeeded, HorizontalFlip, VerticalFlip,
-        ColorJitter, Normalize, TrivialAugmentWide, Mosaic,
+        ColorJitter, Normalize, Affine, TrivialAugmentWide,
     )
 }
 
@@ -385,6 +445,12 @@ def build_transforms(config: Optional[List[Dict]], seed: Optional[int] = None) -
     transforms = []
     for item in config or []:
         name = item["name"]
+        if name == "Mosaic":
+            raise ValueError(
+                "Mosaic needs to see 4 samples and is a dataset wrapper, "
+                "not a per-sample transform: use the dataset config key "
+                "'mosaic: {height, width, p}' (data/mosaic.py)"
+            )
         kwargs = item.get("init_args") or item.get("params") or {}
         kwargs = {k: v for k, v in kwargs.items() if v is not None}
         transforms.append(TRANSFORMS[name](**kwargs))

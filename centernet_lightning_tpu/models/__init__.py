@@ -2,7 +2,7 @@ from . import backbones, heads, layers, meta, necks
 from .backbones import BACKBONES, build_backbone
 from .centernet import CenterNet
 from .fairmot import FairMOT
-from .heads import EmbeddingHead, GenericHead, ReIDClassifier
+from .heads import GenericHead, ReIDClassifier
 from .meta import GenericModel, create_model, param_count_report
 from .necks import NECKS, BiFPN, FPN, IDA, SimpleNeck, build_neck
 from .tracker import Track, Tracker, build_tracker

@@ -72,6 +72,10 @@ class CenterNet:
     # tracking extension (FairMOT); None = plain detection
     reid_config: Optional[Dict[str, Any]] = None
 
+    # optional extra block on the coarsest backbone map (reference
+    # meta.py:43 slot), e.g. {'name': 'SPP', 'pool_sizes': [5, 9, 13]}
+    extra_block: Optional[Dict[str, Any]] = None
+
     def __post_init__(self):
         self.model, self.stride = create_model(
             num_classes=self.num_classes,
@@ -83,6 +87,7 @@ class CenterNet:
             box_init_bias=self.box_init_bias,
             backbone_config=self.backbone_config,
             reid_config=self.reid_config,
+            extra_block=self.extra_block,
         )
         self._heatmap_loss_fn = loss_ops.get_heatmap_loss(self.heatmap_loss)
         self._box_loss_fn = loss_ops.get_box_loss(self.box_loss)

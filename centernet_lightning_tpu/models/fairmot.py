@@ -3,7 +3,7 @@
 TPU-native completion of the reference's FairMOT spec (reference
 models/fairmot.py:11-151 — shipped broken mid-refactor, SURVEY.md §0; the
 behavior here follows the spec the file documents):
- - EmbeddingHead: 64-dim ReID map + train-only classifier (built through
+ - ReID head: 64-dim embedding GenericHead + train-only classifier (built through
    CenterNet's reid_config -> models/meta.py heads wiring)
  - ReID loss: embeddings gathered at GT box centers, identity
    cross-entropy masked over padded slots (fairmot.py:34-61)

@@ -3,9 +3,10 @@
  - GenericHead: depth x ConvNormAct(width) + 1x1 out conv with optional
    constant bias init (reference models/meta.py:21-30; heatmap heads use
    init_bias = log(p/(1-p)) for the focal prior, centernet.py:103).
- - EmbeddingHead: FairMOT ReID head — GenericHead emitting emb_dim features
-   plus a train-only classifier MLP over max_track_ids identities
-   (reference models/fairmot.py:11-73).
+   FairMOT's ReID head is a GenericHead emitting emb_dim channels
+   (meta.py builds it; reference models/fairmot.py:11-26).
+ - ReIDClassifier: the train-only identity MLP over max_track_ids
+   (reference fairmot.py:27-32).
 """
 from __future__ import annotations
 
@@ -16,7 +17,7 @@ from flax import linen as nn
 
 from .layers import CONV_BLOCKS
 
-__all__ = ["GenericHead", "EmbeddingHead", "ReIDClassifier"]
+__all__ = ["GenericHead", "ReIDClassifier"]
 
 
 class GenericHead(nn.Module):
@@ -55,25 +56,3 @@ class ReIDClassifier(nn.Module):
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
         x = nn.relu(x)
         return nn.Dense(self.max_track_ids)(x)
-
-
-class EmbeddingHead(nn.Module):
-    """FairMOT ReID head: 64-dim embedding map (width 256, depth 1 default
-    per fairmot.py:20) + classifier for the training objective."""
-
-    emb_dim: int = 64
-    width: int = 256
-    depth: int = 1
-    max_track_ids: int = 1000
-    block: str = "normal"
-    init_bias: Optional[float] = None
-
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        return GenericHead(
-            self.emb_dim, width=self.width, depth=self.depth,
-            block=self.block, init_bias=self.init_bias, name="embed",
-        )(x, train)
-
-    # classifier lives as a separate module so inference params exclude it;
-    # see CenterNetModel.apply_classifier / fairmot loss wiring.

@@ -82,20 +82,32 @@ def create_model(
     backbone_config: Optional[Dict[str, Any]] = None,
     extra_heads: Optional[Dict[str, Dict[str, Any]]] = None,
     reid_config: Optional[Dict[str, Any]] = None,
-    extra_block: Optional[nn.Module] = None,
+    extra_block: Any = None,
 ) -> Tuple[GenericModel, int]:
     """Build the detection model. Returns (model, stride).
 
     Head wiring matches reference centernet.py:102-105: heatmap head gets
     init_bias = log(p / (1-p)); box head 4 channels with optional bias.
     `reid_config` adds the FairMOT embedding head + identity classifier
-    (fairmot.py:11-32).
+    (fairmot.py:11-32). `extra_block` is the reference's meta.py:43 slot on
+    the coarsest backbone map: a flax module, or a config dict like
+    {'name': 'SPP', 'pool_sizes': [5, 9, 13]} (out_channels defaults to the
+    backbone's last stage so the neck contract is unchanged).
     """
     neck_config = dict(neck_config or {})
     head_config = dict(head_config or {})
     backbone_config = dict(backbone_config or {})
 
     bb = build_backbone(backbone, **backbone_config)
+    if isinstance(extra_block, dict):
+        from .layers import SPP
+
+        eb = dict(extra_block)
+        eb_name = eb.pop("name", eb.pop("type", "SPP"))
+        if str(eb_name).upper() != "SPP":
+            raise KeyError(f"unknown extra_block '{eb_name}' (available: SPP)")
+        eb.setdefault("out_channels", bb.out_channels[-1])
+        extra_block = SPP(**eb)
     nk = build_neck(neck, bb.out_channels, **neck_config)
     stride = bb.stride // nk.stride
 

@@ -332,3 +332,58 @@ def test_loader_early_break_unblocks_producer():
     while threading.active_count() > before and time.time() < deadline:
         time.sleep(0.05)
     assert threading.active_count() <= before, "producer thread leaked"
+
+
+def test_affine_translate_moves_boxes_exactly():
+    import numpy as np
+    from centernet_lightning_tpu.data.transforms import _affine_matrix, _warp_sample
+
+    img = np.zeros((64, 64, 3), np.uint8)
+    sample = {"image": img, "bboxes": np.array([[10, 20, 8, 6]], np.float32),
+              "labels": np.array([0])}
+    out = _warp_sample(dict(sample), _affine_matrix(64, 64, tx=5, ty=-3))
+    np.testing.assert_allclose(out["bboxes"][0], [15, 17, 8, 6], atol=1e-5)
+
+
+def test_affine_rotate90_box_aabb():
+    import numpy as np
+    from centernet_lightning_tpu.data.transforms import _affine_matrix, _warp_sample
+
+    # square image, box at center: rotating 90deg about the center swaps
+    # the box's w/h and keeps its center fixed
+    sample = {"image": np.zeros((64, 64, 3), np.uint8),
+              "bboxes": np.array([[28, 24, 8, 16]], np.float32),
+              "labels": np.array([0])}
+    out = _warp_sample(dict(sample), _affine_matrix(64, 64, rotate=90))
+    x, y, w, h = out["bboxes"][0]
+    assert (w, h) == (16, 8)
+    np.testing.assert_allclose([x + w / 2, y + h / 2], [32, 32], atol=1e-5)
+
+
+def test_trivial_augment_wide_geometric_ops_keep_boxes_consistent():
+    """Every TAW op (incl. the 5 geometric ones) must keep the pixels and
+    boxes in sync: a bright square's box still covers bright pixels."""
+    import numpy as np
+    from centernet_lightning_tpu.data.transforms import Compose, TrivialAugmentWide
+
+    base = np.zeros((96, 96, 3), np.uint8)
+    base[40:56, 30:46] = 255
+    for seed in range(24):  # covers all 12 ops with both signs w.h.p.
+        tf = Compose([TrivialAugmentWide(p=1.0)], seed=seed)
+        out = tf({"image": base.copy(),
+                  "bboxes": np.array([[30, 40, 16, 16]], np.float32),
+                  "labels": np.array([1])})
+        if len(out["bboxes"]) == 0:
+            continue  # box was pushed out of frame: legal
+        x, y, w, h = out["bboxes"][0]
+        crop = out["image"][int(y):int(np.ceil(y + h)), int(x):int(np.ceil(x + w))]
+        if crop.size and out["image"].max() > 50:
+            assert crop.max() >= 0.5 * out["image"].max(), f"seed {seed}"
+
+
+def test_mosaic_transform_name_errors_with_hint():
+    import pytest
+    from centernet_lightning_tpu.data.transforms import build_transforms
+
+    with pytest.raises(ValueError, match="dataset wrapper"):
+        build_transforms([{"name": "Mosaic"}])

@@ -142,3 +142,25 @@ def test_reid_head_and_classifier(key):
         method=task.model.classify_embeddings, mutable=["batch_stats"],
     )
     assert logits.shape == (4, 50)
+
+
+def test_spp_extra_block_wired_from_config():
+    """VERDICT item 8: the SPP extra block is reachable from task config
+    (reference meta.py:43 slot) and preserves output shapes."""
+    import jax
+    import jax.numpy as jnp
+    from centernet_lightning_tpu.models.centernet import CenterNet
+
+    task = CenterNet(
+        num_classes=3, backbone="resnet18", neck="FPN",
+        neck_config={"out_channels": 16},
+        head_config={"width": 16, "depth": 1},
+        extra_block={"name": "SPP", "pool_sizes": [3, 5]},
+        num_detections=5,
+    )
+    assert task.model.extra_block is not None
+    variables = task.init(jax.random.PRNGKey(0), image_size=(64, 64))
+    assert "extra_block" in variables["params"]
+    out = task.model.apply(variables, jnp.zeros((1, 64, 64, 3)), train=False)
+    assert out["heatmap"].shape == (1, 16, 16, 3)
+    assert out["box_2d"].shape == (1, 16, 16, 4)
