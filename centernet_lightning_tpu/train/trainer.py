@@ -56,6 +56,7 @@ class Trainer:
         precision: Optional[str] = None,   # 'bf16'/'bfloat16'/16 -> bf16 fwd/bwd
         diagnostics: bool = True,          # heatmap-grid image at fit start
         finetune_from: Optional[str] = None,  # partial weight restore
+        logger_config: Optional[Dict[str, Any]] = None,  # backend selection
     ):
         self.task = task
         self.train_loader = train_loader
@@ -84,7 +85,12 @@ class Trainer:
             n_data = n_dev
         self.mesh = create_mesh(n_data=n_data, n_model=1,
                                 devices=jax.devices()[:n_data])
-        self.logger = MetricLogger(log_dir)
+        lc = dict(logger_config or {})
+        self.logger = MetricLogger(
+            log_dir, backends=tuple(lc.get("backends", ("tensorboard",))),
+            project=lc.get("project"), run_name=lc.get("run_name"),
+            config=task.hparams,
+        )
 
         opt_cfg = dict(optimizer_config or task.optimizer_config or {})
         opt_cfg.pop("jit", None)  # always jitted here
@@ -284,6 +290,16 @@ class Trainer:
                 ))
             self.logger.log_image("diagnostics/val_predictions",
                                   make_image_grid(tiles, ncols=2), step)
+            # value-distribution diagnostics (reference
+            # image_annotate.py:159-168 log_histogram)
+            self.logger.log_histogram("diagnostics/det_scores",
+                                      dets["scores"], step)
+            self.logger.log_boxes(
+                "diagnostics/val_boxes", np.asarray(batch["image"][0]),
+                np.asarray(dets["boxes"][0]),
+                labels=np.asarray(dets["labels"][0]),
+                scores=np.asarray(dets["scores"][0]), step=step,
+            )
         except Exception:
             pass
 

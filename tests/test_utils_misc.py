@@ -88,3 +88,47 @@ def test_voc_to_coco_annotations(tmp_path):
     assert len(coco["annotations"]) == 1
     ann = coco["annotations"][0]
     assert ann["bbox"] == [5.0, 5.0, 20.0, 25.0]
+
+
+def test_metric_logger_histogram_and_boxes(tmp_path):
+    """W&B-capable MetricLogger (VERDICT item 9): histogram quantiles land
+    in JSONL; box overlay/image calls run on the TB path; an unavailable
+    wandb backend degrades with a warning instead of failing."""
+    import json
+    import warnings
+
+    import numpy as np
+
+    from centernet_lightning_tpu.train.logging import MetricLogger
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        logger = MetricLogger(str(tmp_path), backends=("tensorboard", "wandb"))
+    assert any("wandb" in str(w.message) for w in caught)  # no wandb here
+
+    logger.log({"train/total_loss": 1.5}, step=1)
+    logger.log_histogram("diagnostics/scores", np.linspace(0, 1, 101), step=1)
+    img = np.zeros((32, 32, 3), np.uint8)
+    logger.log_boxes("diagnostics/boxes", img,
+                     np.array([[2.0, 2.0, 10.0, 12.0]]),
+                     labels=np.array([0]), scores=np.array([0.9]), step=1)
+    logger.close()
+
+    rows = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    assert any("train/total_loss" in r for r in rows)
+    hist = [r for r in rows if "diagnostics/scores/p50" in r]
+    assert hist and hist[0]["diagnostics/scores/p50"] == 0.5
+
+
+def test_parse_logger_config():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from train import _parse_logger_config
+
+    assert _parse_logger_config(None) is None
+    cfg = _parse_logger_config(
+        {"class_path": "pytorch_lightning.loggers.WandbLogger",
+         "init_args": {"project": "centernet", "name": "run1"}})
+    assert cfg == {"backends": ["wandb"], "project": "centernet",
+                   "run_name": "run1"}
+    assert _parse_logger_config("TensorBoardLogger")["backends"] == ["tensorboard"]

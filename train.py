@@ -103,8 +103,27 @@ def main():
         precision=trainer_cfg.get("precision"),
         finetune_from=(model_cfg.get("load_from_checkpoint")
                        or model_cfg.get("finetune_from")),
+        logger_config=_parse_logger_config(trainer_cfg.get("logger")),
     )
     trainer.fit()
+
+
+def _parse_logger_config(logger_cfg):
+    """Reference logger selection (configs/centernet.yaml:95-99):
+    {class_path|name: WandbLogger|TensorBoardLogger, init_args: {...}}
+    (or just a string) -> MetricLogger backend config."""
+    if not logger_cfg:
+        return None
+    if isinstance(logger_cfg, str):
+        name, init = logger_cfg, {}
+    else:
+        name = str(logger_cfg.get("class_path")
+                   or logger_cfg.get("name") or "tensorboard")
+        init = logger_cfg.get("init_args") or {}
+    backends = ["wandb"] if "wandb" in name.lower() else ["tensorboard"]
+    return {"backends": backends,
+            "project": init.get("project"),
+            "run_name": init.get("name")}
 
 
 if __name__ == "__main__":
