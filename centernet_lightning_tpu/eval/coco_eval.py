@@ -64,6 +64,53 @@ def box_iou_xywh(dets: np.ndarray, gts: np.ndarray,
     return inter / np.maximum(union, np.finfo(np.float64).tiny)
 
 
+def _greedy_match_numpy(ious: np.ndarray, iou_thrs: np.ndarray,
+                        gt_ig: np.ndarray, gt_crowd: np.ndarray) -> np.ndarray:
+    """Greedy matching, vectorized over GTs per det. pycocotools semantics:
+    dets in score order each take the highest-IoU unmatched GT >= thr,
+    preferring ANY real GT over ignored ones (gts sorted real-first,
+    iteration breaks before ignored once a real match exists); argmax
+    first-occurrence reproduces the strict-> tie-break. Crowd GTs are
+    never marked taken — any number of dets may ignore-match one.
+
+    Returns dtm (T, D): matched gt index + 1; 0 = unmatched."""
+    D, G = ious.shape
+    T = len(iou_thrs)
+    dtm = np.zeros((T, D), np.int64)
+    gt_real = ~gt_ig
+    for t, thr in enumerate(iou_thrs):
+        thr_eff = min(thr, 1 - 1e-10)
+        taken = np.zeros(G, bool)
+        for dind in range(D):
+            row = ious[dind]
+            ok = (~taken | gt_crowd) & (row >= thr_eff)
+            real = ok & gt_real
+            if real.any():
+                m = int(np.argmax(np.where(real, row, -1.0)))
+            elif ok.any():
+                m = int(np.argmax(np.where(ok, row, -1.0)))
+            else:
+                continue
+            dtm[t, dind] = m + 1
+            taken[m] = True
+    return dtm
+
+
+def _greedy_match(ious: np.ndarray, iou_thrs: np.ndarray, gt_ig: np.ndarray,
+                  gt_crowd: np.ndarray) -> np.ndarray:
+    """Native (C++) greedy matching when available, numpy loop otherwise —
+    bit-identical results either way (pinned by tests/test_native.py)."""
+    D, G = ious.shape
+    if D == 0 or G == 0:
+        return np.zeros((len(iou_thrs), D), np.int64)
+    from .. import native
+
+    dtm = native.coco_match(ious, iou_thrs, gt_ig, gt_crowd)
+    if dtm is not None:
+        return dtm
+    return _greedy_match_numpy(ious, iou_thrs, gt_ig, gt_crowd)
+
+
 class COCOProtocolEval:
     """The evaluation engine over in-memory prediction/target lists."""
 
@@ -79,70 +126,38 @@ class COCOProtocolEval:
             "large": (96.0 ** 2, 1e10),
         }
 
-    def _evaluate_img(self, det_boxes, det_scores, gt_boxes, area_rng, max_det,
-                      ious=None, gt_crowd=None):
-        """One (image, category, areaRng) cell at the LARGEST maxDet;
-        smaller maxDets are column slices in accumulation (pycocotools
-        computes matches once with maxDets[-1] and truncates).
+    def _evaluate_img(self, det_boxes, det_scores, gt_boxes, gt_crowd, ious):
+        """All areaRng cells for one (image, category) at the LARGEST
+        maxDet; smaller maxDets are column slices in accumulation
+        (pycocotools computes matches once with maxDets[-1] and truncates).
 
-        Returns (dt_scores, dt_matched, dt_ignore, npig) arrays over the
-        IoU-threshold axis T. `ious` may be precomputed for (det_boxes
-        sorted by score, gt_boxes) to share across area ranges.
-        `gt_crowd` marks iscrowd GTs: always ignored (never in npig),
-        matched by IoF, matchable by any number of dets (pycocotools
-        cocoeval.evaluateImg crowd semantics).
+        `det_boxes`/`det_scores` arrive score-sorted and truncated to
+        maxDets[-1]; `ious` is precomputed for them (shared across area
+        ranges, pycocotools computeIoU). `gt_crowd` marks iscrowd GTs:
+        always ignored (never in npig), matched by IoF, matchable by any
+        number of dets (pycocotools cocoeval.evaluateImg crowd semantics).
+
+        Returns, per area range in self.area_rngs order, a tuple
+        (dt_scores, dt_matched, dt_ignore, npig) over the IoU-threshold
+        axis T.
         """
-        T = len(self.iou_thrs)
         G = len(gt_boxes)
-        gt_crowd = (np.zeros(G, bool) if gt_crowd is None
-                    else np.asarray(gt_crowd, bool))
-        gt_area = gt_boxes[:, 2] * gt_boxes[:, 3] if G else np.zeros(0)
-        gt_ig = gt_crowd | (gt_area < area_rng[0]) | (gt_area > area_rng[1])
-
-        dt_order = np.argsort(-det_scores, kind="mergesort")[:max_det]
-        det_boxes = det_boxes[dt_order]
-        det_scores = det_scores[dt_order]
-
         D = len(det_boxes)
-        if ious is None:
-            ious = box_iou_xywh(det_boxes, gt_boxes, gt_crowd)
-        else:
-            ious = ious[:max_det]
-
-        # Greedy matching, vectorized over GTs per det. pycocotools semantics:
-        # dets in score order each take the highest-IoU unmatched GT >= thr,
-        # preferring ANY real GT over ignored ones (gts sorted real-first,
-        # iteration breaks before ignored once a real match exists); argmax
-        # first-occurrence reproduces the strict-> tie-break. Crowd GTs are
-        # never marked taken — any number of dets may ignore-match one.
-        dtm = np.zeros((T, D), np.int64)       # matched gt index + 1; 0 = none
-        gt_real = ~gt_ig
-        for t, thr in enumerate(self.iou_thrs):
-            thr_eff = min(thr, 1 - 1e-10)
-            taken = np.zeros(G, bool)
-            for dind in range(D):
-                row = ious[dind]
-                ok = (~taken | gt_crowd) & (row >= thr_eff)
-                real = ok & gt_real
-                if real.any():
-                    m = int(np.argmax(np.where(real, row, -1.0)))
-                elif ok.any():
-                    m = int(np.argmax(np.where(ok, row, -1.0)))
-                else:
-                    continue
-                dtm[t, dind] = m + 1
-                taken[m] = True
-
+        gt_area = gt_boxes[:, 2] * gt_boxes[:, 3] if G else np.zeros(0)
         dt_area = det_boxes[:, 2] * det_boxes[:, 3] if D else np.zeros(0)
-        dt_out = (dt_area < area_rng[0]) | (dt_area > area_rng[1])
-        matched_ig = np.zeros((T, D), bool)
-        for t in range(T):
-            matched = dtm[t] > 0
-            matched_ig[t, matched] = gt_ig[dtm[t, matched] - 1]
-        dt_ig = matched_ig | ((dtm == 0) & dt_out[None, :])
 
-        npig = int((~gt_ig).sum())
-        return det_scores, dtm > 0, dt_ig, npig
+        cells = []
+        for lo, hi in self.area_rngs.values():
+            gt_ig = gt_crowd | (gt_area < lo) | (gt_area > hi)
+            dtm = _greedy_match(ious, self.iou_thrs, gt_ig, gt_crowd)
+            # a matched det inherits its GT's ignore flag; an unmatched det
+            # is ignored when its own area falls outside the range
+            gt_ig_pad = np.concatenate(([False], gt_ig))
+            dt_out = (dt_area < lo) | (dt_area > hi)
+            dt_ig = gt_ig_pad[dtm] | ((dtm == 0) & dt_out[None, :])
+            npig = int((~gt_ig).sum())
+            cells.append((det_scores, dtm > 0, dt_ig, npig))
+        return cells
 
     def evaluate(self, preds: List[Dict], targets: List[Dict]):
         """preds/targets: per image dicts of numpy arrays
@@ -174,19 +189,17 @@ class COCOProtocolEval:
                     gt_crowd = np.zeros(len(gt_boxes), bool)
                 if len(det_boxes) == 0 and len(gt_boxes) == 0:
                     continue
-                # IoU computed once per (image, category) on score-sorted
-                # dets, shared across area ranges (pycocotools computeIoU)
+                # sort + IoU computed once per (image, category), shared
+                # across area ranges (pycocotools computeIoU); matching at
+                # the largest maxDet, per-maxDet views in accumulation
                 order = np.argsort(-det_scores, kind="mergesort")[:max_det_all]
-                ious = box_iou_xywh(det_boxes[order], gt_boxes, gt_crowd)
-                per_img.append((det_boxes, det_scores, gt_boxes, gt_crowd, ious))
+                db, ds = det_boxes[order], det_scores[order]
+                ious = box_iou_xywh(db, gt_boxes, gt_crowd)
+                per_img.append(
+                    self._evaluate_img(db, ds, gt_boxes, gt_crowd, ious))
 
-            for a, (aname, rng) in enumerate(self.area_rngs.items()):
-                # match once at the largest maxDet; per-maxDet views below
-                cells = [
-                    self._evaluate_img(db, ds, gb, rng, max_det_all,
-                                       ious=iou, gt_crowd=gc)
-                    for db, ds, gb, gc, iou in per_img
-                ]
+            for a in range(A):
+                cells = [img_cells[a] for img_cells in per_img]
                 npig = sum(c[3] for c in cells)
                 if npig == 0:
                     continue

@@ -51,7 +51,19 @@ def match_with_threshold(cost_matrix: np.ndarray, threshold: float):
     Returns (accepted [(row, col), ...], leftover rows, leftover cols).
     """
     n_rows, n_cols = cost_matrix.shape
-    rows, cols = linear_sum_assignment(cost_matrix)
+    rows = cols = None
+    if np.isfinite(cost_matrix).all():
+        # in-tree C++ Jonker-Volgenant solver (scipy analog); scipy remains
+        # the fallback and the oracle in tests/test_native.py
+        from .. import native
+
+        if native.available():
+            try:
+                rows, cols = native.lap_assign(cost_matrix)
+            except RuntimeError:
+                rows = cols = None
+    if rows is None:
+        rows, cols = linear_sum_assignment(cost_matrix)
     accept = cost_matrix[rows, cols] < threshold
     rows, cols = rows[accept], cols[accept]
 

@@ -1,0 +1,131 @@
+"""Parity tests for the in-tree native (C++) host kernels.
+
+The native library must be a pure speedup: assignment costs equal scipy's
+optimum, and COCO greedy matching is bit-identical to the numpy reference
+loop (which in turn is golden-tested against pycocotools semantics in
+test_coco_eval.py). Mirrors the native surfaces the reference consumes via
+its deps (pycocotools C extension, scipy linear_sum_assignment — reference
+eval/coco.py:6-7, models/tracker.py:8)."""
+import numpy as np
+import pytest
+from scipy.optimize import linear_sum_assignment
+
+from centernet_lightning_tpu import native
+from centernet_lightning_tpu.eval.coco_eval import (
+    COCOProtocolEval, _greedy_match_numpy, box_iou_xywh,
+)
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native toolchain unavailable"
+)
+
+
+def _rand_boxes_xywh(rng, n):
+    xy = rng.uniform(0, 400, size=(n, 2))
+    wh = rng.uniform(4, 120, size=(n, 2))
+    return np.concatenate([xy, wh], axis=1)
+
+
+def test_lap_assign_matches_scipy_cost():
+    rng = np.random.default_rng(0)
+    for trial in range(200):
+        r = int(rng.integers(1, 12))
+        c = int(rng.integers(1, 12))
+        cost = rng.normal(size=(r, c))
+        rows, cols = native.lap_assign(cost)
+        s_rows, s_cols = linear_sum_assignment(cost)
+        assert len(rows) == len(s_rows) == min(r, c)
+        # optimal total cost must match exactly (ties may permute pairs)
+        assert cost[rows, cols].sum() == pytest.approx(
+            cost[s_rows, s_cols].sum(), abs=1e-9)
+        # contract: rows ascending, pairings unique
+        assert np.all(np.diff(rows) > 0) or len(rows) <= 1
+        assert len(set(cols.tolist())) == len(cols)
+
+
+def test_lap_assign_distinct_costs_identical_to_scipy():
+    # with all-distinct costs the optimum is unique -> exact pair equality
+    rng = np.random.default_rng(1)
+    for trial in range(50):
+        r = int(rng.integers(1, 10))
+        c = int(rng.integers(1, 10))
+        cost = rng.permutation(r * c).reshape(r, c).astype(np.float64)
+        cost += rng.uniform(0, 0.49, size=cost.shape)  # break metric ties
+        rows, cols = native.lap_assign(cost)
+        s_rows, s_cols = linear_sum_assignment(cost)
+        got = cost[rows, cols].sum()
+        want = cost[s_rows, s_cols].sum()
+        assert got == pytest.approx(want, abs=1e-9)
+
+
+def test_lap_assign_empty_and_degenerate():
+    assert native.lap_assign(np.zeros((0, 5)))[0].shape == (0,)
+    assert native.lap_assign(np.zeros((5, 0)))[1].shape == (0,)
+    rows, cols = native.lap_assign(np.asarray([[3.0]]))
+    assert rows.tolist() == [0] and cols.tolist() == [0]
+
+
+def test_coco_match_bit_identical_to_numpy_loop():
+    rng = np.random.default_rng(2)
+    thrs = np.linspace(0.5, 0.95, 10)
+    for trial in range(100):
+        d = int(rng.integers(0, 30))
+        g = int(rng.integers(0, 20))
+        dets = _rand_boxes_xywh(rng, d)
+        gts = _rand_boxes_xywh(rng, g)
+        gt_crowd = rng.random(g) < 0.25
+        gt_ig = gt_crowd | (rng.random(g) < 0.25)
+        ious = box_iou_xywh(dets, gts, gt_crowd)
+        want = _greedy_match_numpy(ious, thrs, gt_ig, gt_crowd)
+        got = native.coco_match(ious, thrs, gt_ig, gt_crowd)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_evaluator_metrics_identical_with_native_disabled():
+    rng = np.random.default_rng(3)
+    preds, targets = [], []
+    for _ in range(12):
+        ng = int(rng.integers(1, 8))
+        gt = _rand_boxes_xywh(rng, ng)
+        jitter = rng.normal(scale=3.0, size=(ng, 4))
+        nd = ng + int(rng.integers(0, 4))
+        dets = np.concatenate([gt + jitter, _rand_boxes_xywh(rng, nd - ng)])
+        preds.append({
+            "boxes": dets,
+            "scores": rng.random(nd),
+            "labels": rng.integers(0, 3, nd),
+        })
+        targets.append({
+            "boxes": gt,
+            "labels": rng.integers(0, 3, ng),
+            "iscrowd": (rng.random(ng) < 0.2).astype(np.int64),
+        })
+    engine = COCOProtocolEval(num_classes=3)
+    with_native = engine.evaluate(preds, targets)
+    native.set_enabled(False)
+    try:
+        without = COCOProtocolEval(num_classes=3).evaluate(preds, targets)
+    finally:
+        native.set_enabled(True)
+    assert with_native == without
+
+
+def test_tracker_association_uses_native_and_matches_scipy():
+    from centernet_lightning_tpu.models.tracker import match_with_threshold
+
+    rng = np.random.default_rng(4)
+    for _ in range(30):
+        cost = rng.random((int(rng.integers(1, 9)), int(rng.integers(1, 9))))
+        got = match_with_threshold(cost.copy(), threshold=0.6)
+        native.set_enabled(False)
+        try:
+            want = match_with_threshold(cost.copy(), threshold=0.6)
+        finally:
+            native.set_enabled(True)
+        got_pairs = {tuple(p) for p in got[0]}
+        want_pairs = {tuple(p) for p in want[0]}
+        got_cost = sum(cost[r, c] for r, c in got_pairs)
+        want_cost = sum(cost[r, c] for r, c in want_pairs)
+        assert got_cost == pytest.approx(want_cost, abs=1e-9)
+        assert sorted(got[1]) == sorted(want[1])  # leftover rows
+        assert sorted(got[2]) == sorted(want[2])  # leftover cols
