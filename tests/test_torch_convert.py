@@ -442,3 +442,54 @@ def test_bifpn_conversion_parity(rng):
     np.testing.assert_allclose(
         t_y.numpy().transpose(0, 2, 3, 1), np.asarray(f_y),
         rtol=1e-3, atol=1e-4)
+
+
+def test_depthwise_inverted_residual_conversion(rng):
+    """Depthwise convs (MobileNetV2 inverted residual, the helmet config's
+    backbone — reference configs/helmet.yaml:4) convert via the structural
+    pairer: torch (C,1,kh,kw) grouped weight -> flax (kh,kw,1,C) with
+    feature_group_count=C."""
+    import jax
+    from centernet_lightning_tpu.models.backbones.mobilenet import (
+        InvertedResidual,
+    )
+    from centernet_lightning_tpu.utils.torch_convert import (
+        convert_module_by_order,
+    )
+
+    c_in, hidden, c_out = 8, 48, 8
+
+    class TorchInvRes(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.expand = nn.Conv2d(c_in, hidden, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(hidden, eps=1e-3)
+            self.dw = nn.Conv2d(hidden, hidden, 3, padding=1,
+                                groups=hidden, bias=False)
+            self.bn2 = nn.BatchNorm2d(hidden, eps=1e-3)
+            self.project = nn.Conv2d(hidden, c_out, 1, bias=False)
+            self.bn3 = nn.BatchNorm2d(c_out, eps=1e-3)
+
+        def forward(self, x):
+            y = F.relu6(self.bn1(self.expand(x)))
+            y = F.relu6(self.bn2(self.dw(y)))
+            y = self.bn3(self.project(y))
+            return x + y
+
+    torch.manual_seed(3)
+    tm = TorchInvRes().eval()
+    _randomize_bn(tm)
+
+    block = InvertedResidual(filters=c_out, strides=1, expand=6.0)
+    x = rng.normal(size=(2, 16, 16, c_in)).astype(np.float32)
+    template = block.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    params, stats = convert_module_by_order(
+        tm.state_dict(), template["params"], template.get("batch_stats", {}))
+
+    with torch.no_grad():
+        t_y = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    f_y = block.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(x), train=False)
+    np.testing.assert_allclose(
+        t_y.numpy().transpose(0, 2, 3, 1), np.asarray(f_y),
+        rtol=1e-3, atol=1e-4)
