@@ -117,18 +117,17 @@ class DeformableConvBlock(nn.Module):
             mask = None
 
         # base sampling grid: output pixel (i, j), tap (a, b)
-        ys = jnp.arange(h, dtype=jnp.float32)[:, None, None]        # (H, 1, 1)
-        xs = jnp.arange(w, dtype=jnp.float32)[None, :, None]        # (1, W, 1)
+        ys = jnp.arange(h, dtype=jnp.float32)[:, None]              # (H, 1)
+        xs = jnp.arange(w, dtype=jnp.float32)[None, :]              # (1, W)
         half = (k - 1) // 2
         tap = jnp.arange(k, dtype=jnp.float32) - half               # (k,)
         tap_y = jnp.repeat(tap, k)                                  # (k*k,)
         tap_x = jnp.tile(tap, k)
 
         off = offsets.reshape(n, h, w, k * k, 2)
-        sample_y = ys[None] + tap_y + off[..., 0]                   # (N, H, W, k*k)
-        sample_x = xs[None] + tap_x + off[..., 1]
 
-        # bilinear sample with zero padding outside
+        # bilinear sample ONE tap with zero padding outside: img (H, W, C),
+        # sy/sx (H, W) -> (H, W, C)
         def bilinear(img, sy, sx):
             y0 = jnp.floor(sy)
             x0 = jnp.floor(sx)
@@ -142,21 +141,30 @@ class DeformableConvBlock(nn.Module):
                     valid = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
                     yy = jnp.clip(yy, 0, h - 1)
                     xx = jnp.clip(xx, 0, w - 1)
-                    vals = img[yy, xx]                              # (H, W, k*k, C)
-                    out = out + vals * (wgt_y * wgt_x * valid)[..., None]
+                    out = out + img[yy, xx] * (wgt_y * wgt_x * valid)[..., None]
             return out
 
-        sampled = jax.vmap(bilinear)(x, sample_y, sample_x)         # (N, H, W, k*k, C)
-        if mask is not None:
-            sampled = sampled * mask[..., None]
-
-        # conv over the gathered taps == one big matmul on the MXU
-        sampled = sampled.reshape(n, h, w, k * k * c)
+        # One matmul per tap, accumulated in f32: peak live memory is one
+        # (N, H, W, C) tap instead of the dense (N, H, W, k*k, C) gather —
+        # the dense form OOMs HBM at production shapes (4 GB per remat copy
+        # at b32 128^2 c128). Same FLOPs: sum_t gather_t(x) @ W[t] == the
+        # reference's conv over gathered taps (torchvision DeformConv2d,
+        # reference layers.py:9-38).
         kernel = self.param(
             "kernel", nn.initializers.he_normal(), (k * k * c, self.out_channels)
         )
-        y = jnp.einsum("nhwi,io->nhwo", sampled, kernel,
-                       preferred_element_type=jnp.float32).astype(x.dtype)
+        acc = jnp.zeros((n, h, w, self.out_channels), jnp.float32)
+        for t in range(k * k):
+            sample_y = ys[None] + tap_y[t] + off[..., t, 0]         # (N, H, W)
+            sample_x = xs[None] + tap_x[t] + off[..., t, 1]
+            tap_val = jax.vmap(bilinear)(x, sample_y, sample_x)     # (N, H, W, C)
+            if mask is not None:
+                tap_val = tap_val * mask[..., t:t + 1]
+            acc = acc + jnp.einsum(
+                "nhwc,co->nhwo", tap_val.astype(x.dtype),
+                kernel[t * c:(t + 1) * c],
+                preferred_element_type=jnp.float32)
+        y = acc.astype(x.dtype)
         if self.use_norm:
             y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(y)
         else:

@@ -18,9 +18,30 @@ import jax
 import orbax.checkpoint as ocp
 
 __all__ = ["save_checkpoint", "load_checkpoint", "latest_checkpoint",
-           "restore_partial"]
+           "restore_partial", "wait_for_saves"]
 
 _STEP_RE = re.compile(r"^step_(\d+)$")
+
+# One long-lived async checkpointer per process: saves return as soon as the
+# host copy is made and serialize to disk on a background thread, so the
+# train loop never stalls on IO. In-flight checkpoints live in
+# `step_N.orbax-checkpoint-tmp-*` dirs, which _STEP_RE excludes — resume and
+# pruning only ever see finalized checkpoints (mid-run kills leave no
+# corrupt resume target; exercised by the kill test in docs/experiments.md).
+_ASYNC_CKPTR: Optional["ocp.AsyncCheckpointer"] = None
+
+
+def _get_async_ckptr() -> "ocp.AsyncCheckpointer":
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def wait_for_saves() -> None:
+    """Block until every async save issued by this process is durable."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
 
 
 def save_checkpoint(
@@ -29,15 +50,26 @@ def save_checkpoint(
     hparams: Optional[Dict[str, Any]] = None,
     step: Optional[int] = None,
     keep_last: int = 3,
+    async_save: bool = False,
 ):
-    """Save a pytree checkpoint under ckpt_dir/step_N (+ hparams.json)."""
+    """Save a pytree checkpoint under ckpt_dir/step_N (+ hparams.json).
+
+    async_save=True returns after the host-side copy; the disk write
+    happens on orbax's background thread (a new save or `wait_for_saves`
+    joins it)."""
     ckpt_dir = os.path.abspath(ckpt_dir)
     os.makedirs(ckpt_dir, exist_ok=True)
     step = int(step if step is not None else state_tree.get("step", 0))
     path = os.path.join(ckpt_dir, f"step_{step}")
 
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, jax.device_get(state_tree), force=True)
+    if async_save:
+        # AsyncCheckpointer.save joins any still-running previous save first
+        _get_async_ckptr().save(
+            path, args=ocp.args.StandardSave(jax.device_get(state_tree)),
+            force=True)
+    else:
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path, jax.device_get(state_tree), force=True)
 
     if hparams is not None:
         with open(os.path.join(ckpt_dir, "hparams.json"), "w") as f:
@@ -71,6 +103,7 @@ def load_checkpoint(
     """Restore (state_tree, hparams). `path` may be a specific step dir or a
     run dir (latest step picked). `target` optionally gives the pytree
     structure/shardings to restore into."""
+    wait_for_saves()  # a same-process async save may still be in flight
     path = os.path.abspath(path)
     if not _STEP_RE.match(os.path.basename(path)):
         latest = latest_checkpoint(path)

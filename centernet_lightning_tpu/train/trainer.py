@@ -26,7 +26,8 @@ from ..parallel.mesh import (
     batch_sharding, create_mesh, gather_object_lists, replicated,
 )
 from ..utils.box_np import convert_box_format
-from .checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+from .checkpoint import (latest_checkpoint, load_checkpoint, save_checkpoint,
+                         wait_for_saves)
 from .logging import MetricLogger
 from .optim import make_optimizer
 from .state import TrainState, make_eval_step, make_train_step
@@ -182,9 +183,11 @@ class Trainer:
         # semantics, reference configs/centernet.yaml:103-106); untagged
         # saves are the rolling `save_last` chain
         ckpt_dir = os.path.join(self.ckpt_dir, tag) if tag else self.ckpt_dir
+        # async: the epoch loop continues while orbax serializes on its
+        # background thread; fit() joins via wait_for_saves()
         save_checkpoint(ckpt_dir, tree, hparams=self.task.hparams,
                         step=int(self.state.step),
-                        keep_last=1 if tag else 3)
+                        keep_last=1 if tag else 3, async_save=True)
 
     def _shard(self, batch):
         n = batch["image"].shape[0]
@@ -264,6 +267,7 @@ class Trainer:
                         self.best_metric = score
                         self._save(epoch + 1, tag="best")
             self._save(epoch + 1)
+        wait_for_saves()  # join the background checkpoint writer
         return self.state
 
     # ------------------------------------------------------------------

@@ -131,3 +131,54 @@ def test_multilevel_forward(key):
     for i, lvl in enumerate(levels):
         s = 4 * (2 ** i)
         assert lvl["heatmap"].shape == (1, 64 // s, 64 // s, 3)
+
+
+def test_dcn_per_tap_matches_dense_gather_oracle(key, rng):
+    """The memory-lean per-tap accumulation must equal the dense
+    (N,H,W,k*k,C) gather-then-one-matmul formulation (which OOMs at
+    production shapes and is kept here only as the numerical oracle)."""
+    x = jnp.asarray(rng.normal(size=(2, 6, 6, 4)).astype(np.float32))
+    block = DeformableConvBlock(out_channels=5, version=2, use_norm=False,
+                                act=None)
+    variables = block.init(key, x, train=False)
+    # non-trivial offsets/mask so the bilinear path is exercised
+    params = jax.tree_util.tree_map(
+        lambda p: jnp.asarray(rng.normal(scale=0.3, size=p.shape), p.dtype),
+        variables["params"])
+    y = block.apply({"params": params}, x, train=False)
+
+    # dense oracle
+    n, h, w, c = x.shape
+    k = 3
+    off = np.asarray(
+        jax.lax.conv_general_dilated(
+            x, params["Conv_0"]["kernel"], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        + params["Conv_0"]["bias"])
+    msk = 1 / (1 + np.exp(-np.asarray(
+        jax.lax.conv_general_dilated(
+            x, params["Conv_1"]["kernel"], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        + params["Conv_1"]["bias"])))
+    off = off.reshape(n, h, w, k * k, 2)
+    taps = [(a - 1, b - 1) for a in range(k) for b in range(k)]
+    xn = np.asarray(x)
+    sampled = np.zeros((n, h, w, k * k, c), np.float32)
+    for ni in range(n):
+        for i in range(h):
+            for j in range(w):
+                for t, (ty, tx) in enumerate(taps):
+                    sy = i + ty + off[ni, i, j, t, 0]
+                    sx = j + tx + off[ni, i, j, t, 1]
+                    y0, x0 = int(np.floor(sy)), int(np.floor(sx))
+                    wy, wx = sy - y0, sx - x0
+                    v = 0.0
+                    for dy, gy in ((0, 1 - wy), (1, wy)):
+                        for dx, gx in ((0, 1 - wx), (1, wx)):
+                            yy, xx = y0 + dy, x0 + dx
+                            if 0 <= yy < h and 0 <= xx < w:
+                                v = v + xn[ni, yy, xx] * gy * gx
+                    sampled[ni, i, j, t] = v * msk[ni, i, j, t]
+    want = sampled.reshape(n, h, w, k * k * c) @ np.asarray(params["kernel"])
+    want = want + np.asarray(params["bias"])
+    np.testing.assert_allclose(np.asarray(y), want, rtol=1e-4, atol=1e-4)

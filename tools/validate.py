@@ -26,7 +26,16 @@ def main():
     parser.add_argument("--batch-size", type=int, default=16)
     parser.add_argument("--image-size", type=int, default=512)
     parser.add_argument("--num-detections", type=int, default=100)
+    parser.add_argument("--platform", default=None,
+                        help="force a jax platform (e.g. cpu); the "
+                             "JAX_PLATFORMS env var is unreliable with "
+                             "plugin backends")
     args = parser.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     import jax.numpy as jnp
 
@@ -63,8 +72,11 @@ def main():
         targets = []
         for i in range(n):
             m = batch["mask"][i].astype(bool)
-            targets.append({"boxes": batch["boxes"][i][m],
-                            "labels": batch["labels"][i][m]})
+            entry = {"boxes": batch["boxes"][i][m],
+                     "labels": batch["labels"][i][m]}
+            if "iscrowd" in batch:
+                entry["iscrowd"] = batch["iscrowd"][i][m]
+            targets.append(entry)
         evaluator.update(preds, targets)
 
     metrics = evaluator.get_metrics()
