@@ -21,7 +21,7 @@ from __future__ import annotations
 from typing import Dict, Sequence
 
 import numpy as np
-from scipy.optimize import linear_sum_assignment
+from ..native import lap_assign_or_scipy as linear_sum_assignment
 
 from .coco_eval import box_iou_xywh
 

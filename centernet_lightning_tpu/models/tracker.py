@@ -29,9 +29,9 @@ from enum import Enum, auto
 from typing import Callable, List, Optional, Union
 
 import numpy as np
-from scipy.optimize import linear_sum_assignment
 from scipy.spatial import distance as _sp_distance
 
+from ..native import lap_assign_or_scipy
 from ..utils.box_np import box_giou_distance_matrix, box_iou_distance_matrix
 from ..utils.kalman import KalmanFilter
 
@@ -51,19 +51,9 @@ def match_with_threshold(cost_matrix: np.ndarray, threshold: float):
     Returns (accepted [(row, col), ...], leftover rows, leftover cols).
     """
     n_rows, n_cols = cost_matrix.shape
-    rows = cols = None
-    if np.isfinite(cost_matrix).all():
-        # in-tree C++ Jonker-Volgenant solver (scipy analog); scipy remains
-        # the fallback and the oracle in tests/test_native.py
-        from .. import native
-
-        if native.available():
-            try:
-                rows, cols = native.lap_assign(cost_matrix)
-            except RuntimeError:
-                rows = cols = None
-    if rows is None:
-        rows, cols = linear_sum_assignment(cost_matrix)
+    # in-tree C++ Jonker-Volgenant solver (scipy analog); scipy remains the
+    # fallback (non-finite costs) and the oracle in tests/test_native.py
+    rows, cols = lap_assign_or_scipy(cost_matrix)
     accept = cost_matrix[rows, cols] < threshold
     rows, cols = rows[accept], cols[accept]
 

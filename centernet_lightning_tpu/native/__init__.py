@@ -25,7 +25,8 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["available", "set_enabled", "lap_assign", "coco_match"]
+__all__ = ["available", "set_enabled", "lap_assign", "lap_assign_or_scipy",
+           "coco_match"]
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "src", "native_ops.cc")
@@ -162,3 +163,18 @@ def coco_match(ious: np.ndarray, iou_thrs: np.ndarray, gt_ig: np.ndarray,
                       _ptr(gt_crowd, ctypes.c_ubyte),
                       _ptr(dtm, ctypes.c_longlong))
     return dtm
+
+
+def lap_assign_or_scipy(cost: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """lap_assign with a transparent scipy fallback (non-finite costs, no
+    compiler). Drop-in for scipy.optimize.linear_sum_assignment on
+    minimization problems."""
+    cost = np.asarray(cost, np.float64)
+    if np.isfinite(cost).all() and available():
+        try:
+            return lap_assign(cost)
+        except RuntimeError:
+            pass
+    from scipy.optimize import linear_sum_assignment
+
+    return linear_sum_assignment(cost)
