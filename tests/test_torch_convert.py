@@ -493,3 +493,62 @@ def test_depthwise_inverted_residual_conversion(rng):
     np.testing.assert_allclose(
         t_y.numpy().transpose(0, 2, 3, 1), np.asarray(f_y),
         rtol=1e-3, atol=1e-4)
+
+
+def test_vovnet_osa_block_conversion(rng):
+    """VoVNet OSA block (the reference's best COCO backbone family,
+    BASELINE.md rows 4-8) converts via the structural pairer — the concat
+    of [input, conv outputs] means the 1x1 aggregation weights only match
+    if the channel order survives conversion."""
+    import jax
+    from centernet_lightning_tpu.models.backbones.vovnet import OSABlock
+
+    c_in, sc, cc, n_convs = 8, 8, 16, 2
+
+    class TorchOSA(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.convs = nn.ModuleList()
+            c = c_in
+            for _ in range(n_convs):
+                self.convs.append(nn.Sequential(
+                    nn.Conv2d(c, sc, 3, padding=1, bias=False),
+                    nn.BatchNorm2d(sc), nn.ReLU()))
+                c = sc
+            self.aggregate = nn.Sequential(
+                nn.Conv2d(c_in + n_convs * sc, cc, 1, bias=False),
+                nn.BatchNorm2d(cc), nn.ReLU())
+            self.ese = nn.Conv2d(cc, cc, 1)
+
+        def forward(self, x):
+            outs = [x]
+            y = x
+            for conv in self.convs:
+                y = conv(y)
+                outs.append(y)
+            y = self.aggregate(torch.cat(outs, dim=1))
+            s = y.mean(dim=(2, 3), keepdim=True)
+            s = (self.ese(s) / 6 + 0.5).clamp(0, 1)
+            return y * s
+
+    torch.manual_seed(5)
+    tm = TorchOSA().eval()
+    _randomize_bn(tm)
+
+    from centernet_lightning_tpu.utils.torch_convert import (
+        convert_module_by_order,
+    )
+
+    block = OSABlock(stage_channels=sc, concat_channels=cc, num_convs=n_convs)
+    x = rng.normal(size=(2, 12, 12, c_in)).astype(np.float32)
+    template = block.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    params, stats = convert_module_by_order(
+        tm.state_dict(), template["params"], template.get("batch_stats", {}))
+
+    with torch.no_grad():
+        t_y = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    f_y = block.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(x), train=False)
+    np.testing.assert_allclose(
+        t_y.numpy().transpose(0, 2, 3, 1), np.asarray(f_y),
+        rtol=1e-3, atol=1e-4)
