@@ -552,3 +552,51 @@ def test_vovnet_osa_block_conversion(rng):
     np.testing.assert_allclose(
         t_y.numpy().transpose(0, 2, 3, 1), np.asarray(f_y),
         rtol=1e-3, atol=1e-4)
+
+
+def test_convert_checkpoint_cli_roundtrip(tmp_path, rng):
+    """tools/convert_checkpoint.py: torch .ckpt -> orbax dir -> predictor
+    with identical forward outputs (the run-once released-checkpoint
+    ingestion path)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from centernet_lightning_tpu.api import build_centernet
+
+    tm, _ = _make_tasks_and_torch()
+    ckpt = {"state_dict": {f"model.{k}": v for k, v in tm.state_dict().items()}}
+    tpath = str(tmp_path / "released.ckpt")
+    torch.save(ckpt, tpath)
+
+    cfg = {
+        "model": {
+            "num_classes": 5, "backbone": "resnet18",
+            "neck": "FPN", "neck_config": {"out_channels": 32},
+            "head_config": {"width": 32, "depth": 2},
+            "num_detections": 10, "image_size": [64, 64],
+        }
+    }
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)  # YAML is a JSON superset
+
+    out_dir = str(tmp_path / "orbax")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "convert_checkpoint.py"),
+         "--config", cfg_path, "--torch-ckpt", tpath, "--output", out_dir,
+         "--platform", "cpu"],
+        capture_output=True, text=True, timeout=600, cwd=repo)
+    assert out.returncode == 0, out.stderr[-2000:]
+
+    predictor = build_centernet(out_dir)  # rebuilt from hparams.json alone
+    x = rng.normal(size=(1, 64, 64, 3)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        t_out = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    f_out = predictor.task.model.apply(
+        predictor.variables, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(
+        t_out["heatmap"].numpy().transpose(0, 2, 3, 1),
+        np.asarray(f_out["heatmap"]), rtol=1e-3, atol=1e-4)

@@ -89,6 +89,9 @@ def main():
     parser = argparse.ArgumentParser(description="Export CenterNet for serving")
     parser.add_argument("--config", help="model yaml (or use --checkpoint dir)")
     parser.add_argument("--checkpoint", help="checkpoint dir/step to load")
+    parser.add_argument("--torch-ckpt",
+                        help="reference Lightning .ckpt/.pth to convert and "
+                             "export directly (requires --config)")
     parser.add_argument("--output", required=True)
     parser.add_argument("--format", choices=["stablehlo", "savedmodel"],
                         default="stablehlo")
@@ -101,7 +104,8 @@ def main():
 
     source = args.config or args.checkpoint
     predictor = build_centernet(source, checkpoint=args.checkpoint
-                                if args.config else None)
+                                if args.config else None,
+                                torch_ckpt=args.torch_ckpt)
     if args.format == "stablehlo":
         export_stablehlo(predictor, args.output, args.batch_size,
                          args.height, args.width)
