@@ -13,7 +13,8 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-__all__ = ["CollateDetection", "CollateTracking", "collate_detection", "collate_tracking"]
+__all__ = ["CollateDetection", "CollateTracking", "collate_detection",
+           "collate_tracking", "coco_detection_collate_fn"]
 
 
 def _pad_batch(batch: List[Dict], keys, max_boxes: Optional[int]) -> Dict[str, np.ndarray]:
@@ -77,3 +78,18 @@ class CollateTracking:
 
 collate_detection = CollateDetection()
 collate_tracking = CollateTracking()
+
+
+def coco_detection_collate_fn(batch):
+    """The reference's simple non-padded collate (reference
+    datasets/coco.py:97-100): stacked images + a tuple of per-sample
+    target dicts (variable length). The padded CollateDetection is the
+    recommended contract on TPU (fixed shapes, no recompiles); this exists
+    for API parity and host-side tooling."""
+    import numpy as np
+
+    images = np.stack([s["image"] for s in batch], axis=0)
+    targets = tuple(
+        {k: v for k, v in s.items() if k != "image"} for s in batch
+    )
+    return images, targets

@@ -18,6 +18,7 @@ scale works (IoU is scale-invariant).
 """
 from __future__ import annotations
 
+import os
 from typing import Dict, Sequence
 
 import numpy as np
@@ -25,7 +26,9 @@ from ..native import lap_assign_or_scipy as linear_sum_assignment
 
 from .coco_eval import box_iou_xywh
 
-__all__ = ["evaluate_mot_tracking_sequence", "clear_metrics", "idf1_score", "hota_score"]
+__all__ = ["evaluate_mot_tracking_sequence", "evaluate_mot_tracking_sequences",
+           "evaluate_mot_tracking_from_file", "clear_metrics", "idf1_score",
+           "hota_score"]
 
 _EPS = np.finfo(float).eps
 
@@ -299,3 +302,87 @@ def evaluate_mot_tracking_sequences(per_sequence: Dict) -> Dict[str, float]:
         assa = hota_ass / np.maximum(_EPS, hota_tp)
         out["HOTA"] = float(np.mean(np.sqrt(deta * assa)))
     return out
+
+
+def _parse_mot_txt(path: str, gt: bool = False):
+    """MOT-Challenge txt -> {frame: (xywh boxes, ids)}. GT rows keep only
+    'consider' flag 1 and (when present) pedestrian class 1/‑1
+    (MOT-Challenge gt.txt columns; reference datasets/mot.py:61-70 applies
+    the same filters when loading sequences)."""
+    frames: Dict[int, list] = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                parts = line.strip().split(",")
+                if len(parts) < 6:
+                    continue
+                frame, tid = int(float(parts[0])), int(float(parts[1]))
+                box = [float(v) for v in parts[2:6]]
+                if gt:
+                    if len(parts) > 6 and float(parts[6]) == 0:
+                        continue  # ignore flag
+                    if len(parts) > 7 and float(parts[7]) not in (1.0, -1.0):
+                        continue  # non-pedestrian class
+                frames.setdefault(frame, []).append((box, tid))
+    out = {}
+    for frame, rows in frames.items():
+        out[frame] = (np.asarray([r[0] for r in rows], np.float64),
+                      np.asarray([r[1] for r in rows], np.int64))
+    return out
+
+
+def evaluate_mot_tracking_from_file(
+    gt_folder: str, trackers_folder: str, trackers_to_eval=None,
+    seqmap_file: str = None,
+) -> Dict[str, float]:
+    """Evaluate MOT-format result FILES against a MOT-Challenge GT tree —
+    the reference's TrackEval bridge (eval/mot_challenge.py:87-138),
+    implemented directly (no temp-config TrackEval run).
+
+    Layout: `<gt_folder>/<seq>/gt/gt.txt` (+ seqinfo.ini), tracker results
+    at `<trackers_folder>/<tracker>/<seq>.txt`. Sequences come from
+    `seqmap_file` (one name per line, header ignored) or the gt_folder
+    listing; trackers from `trackers_to_eval` or the trackers_folder
+    listing. Returns the combined {HOTA, MOTA, IDF1} (+ per-sequence
+    breakdowns) for a single tracker, or {tracker: metrics} for several.
+    """
+    if seqmap_file:
+        with open(seqmap_file) as f:
+            seqs = [l.strip() for l in f if l.strip() and l.strip() != "name"]
+    else:
+        seqs = sorted(
+            d for d in os.listdir(gt_folder)
+            if os.path.isdir(os.path.join(gt_folder, d))
+        )
+    if trackers_to_eval is None:
+        trackers = sorted(
+            d for d in os.listdir(trackers_folder)
+            if os.path.isdir(os.path.join(trackers_folder, d))
+        )
+    else:
+        trackers = list(np.atleast_1d(trackers_to_eval))
+
+    results = {}
+    for tracker in trackers:
+        per_seq = {}
+        for seq in seqs:
+            gt_frames = _parse_mot_txt(
+                os.path.join(gt_folder, seq, "gt", "gt.txt"), gt=True)
+            pr_frames = _parse_mot_txt(
+                os.path.join(trackers_folder, tracker, f"{seq}.txt"))
+            last = max(list(gt_frames) + list(pr_frames) + [0])
+            empty = (np.zeros((0, 4)), np.zeros(0, np.int64))
+            per_seq[seq] = {
+                "target_bboxes": [gt_frames.get(f, empty)[0]
+                                  for f in range(1, last + 1)],
+                "target_track_ids": [gt_frames.get(f, empty)[1]
+                                     for f in range(1, last + 1)],
+                "pred_bboxes": [pr_frames.get(f, empty)[0]
+                                for f in range(1, last + 1)],
+                "pred_track_ids": [pr_frames.get(f, empty)[1]
+                                   for f in range(1, last + 1)],
+            }
+        results[tracker] = evaluate_mot_tracking_sequences(per_seq)
+    if len(results) == 1:
+        return next(iter(results.values()))
+    return results

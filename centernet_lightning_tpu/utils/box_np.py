@@ -14,6 +14,8 @@ __all__ = [
     "box_giou_matrix",
     "box_iou_distance_matrix",
     "box_giou_distance_matrix",
+    "xyxy_to_xyah",
+    "xyah_to_xyxy",
 ]
 
 _FORMATS = ("xyxy", "xywh", "cxcywh")
@@ -84,3 +86,29 @@ def box_iou_distance_matrix(boxes1, boxes2):
 def box_giou_distance_matrix(boxes1, boxes2):
     """(1 - GIoU) / 2, mapped to [0, 1] (reference utils/box.py:89-92)."""
     return (1.0 - box_giou_matrix(boxes1, boxes2)) / 2.0
+
+
+def xyxy_to_xyah(box):
+    """xyxy -> (center x, center y, aspect w/h, height) — the measurement
+    space of the reference's alternative Kalman parameterization
+    (reference models/tracker.py:203-215)."""
+    box = np.asarray(box, float).copy()
+    wh = box[..., 2:4] - box[..., 0:2]
+    out = np.empty_like(box)
+    out[..., 0:2] = box[..., 0:2] + wh / 2
+    out[..., 2] = wh[..., 0] / np.maximum(wh[..., 1], 1e-12)
+    out[..., 3] = wh[..., 1]
+    return out
+
+
+def xyah_to_xyxy(box):
+    """Inverse of xyxy_to_xyah (reference models/tracker.py:210-215)."""
+    box = np.asarray(box, float).copy()
+    h = box[..., 3]
+    w = box[..., 2] * h
+    out = np.empty_like(box)
+    out[..., 0] = box[..., 0] - w / 2
+    out[..., 1] = box[..., 1] - h / 2
+    out[..., 2] = out[..., 0] + w
+    out[..., 3] = out[..., 1] + h
+    return out

@@ -387,3 +387,31 @@ def test_mosaic_transform_name_errors_with_hint():
 
     with pytest.raises(ValueError, match="dataset wrapper"):
         build_transforms([{"name": "Mosaic"}])
+
+
+def test_coco_detection_collate_fn_reference_contract():
+    """Simple non-padded collate (reference datasets/coco.py:97-100):
+    stacked images + tuple of variable-length target dicts."""
+    from centernet_lightning_tpu.data.collate import coco_detection_collate_fn
+
+    batch = [
+        {"image": np.zeros((8, 8, 3), np.float32),
+         "bboxes": np.zeros((2, 4)), "labels": np.zeros(2, np.int64)},
+        {"image": np.ones((8, 8, 3), np.float32),
+         "bboxes": np.zeros((5, 4)), "labels": np.zeros(5, np.int64)},
+    ]
+    images, targets = coco_detection_collate_fn(batch)
+    assert images.shape == (2, 8, 8, 3)
+    assert isinstance(targets, tuple) and len(targets) == 2
+    assert targets[0]["bboxes"].shape == (2, 4)
+    assert targets[1]["labels"].shape == (5,)
+
+
+def test_xyah_round_trip():
+    from centernet_lightning_tpu.utils.box_np import xyah_to_xyxy, xyxy_to_xyah
+
+    boxes = np.asarray([[10., 20., 50., 80.], [0., 0., 4., 2.]])
+    np.testing.assert_allclose(xyah_to_xyxy(xyxy_to_xyah(boxes)), boxes,
+                               atol=1e-9)
+    xyah = xyxy_to_xyah(np.asarray([10., 20., 50., 80.]))
+    np.testing.assert_allclose(xyah, [30., 50., 40. / 60., 60.])

@@ -143,3 +143,50 @@ def test_combined_counters_match_manual():
     m = evaluate_mot_tracking_sequences({"g": good, "b": bad})
     # GT dets: 4 + 4 = 8; errors: 1 FN (frame 2 of 'b')
     assert m["MOTA"] == pytest.approx(1.0 - 1.0 / 8.0)
+
+
+def test_evaluate_mot_tracking_from_file(tmp_path):
+    """MOT-format file evaluation (the reference's TrackEval bridge,
+    eval/mot_challenge.py:87-138): perfect tracker files score 1.0, a
+    corrupted tracker scores lower."""
+    import os
+
+    from centernet_lightning_tpu.eval.mot import (
+        evaluate_mot_tracking_from_file,
+    )
+
+    gt_root = tmp_path / "gt"
+    trk_root = tmp_path / "trackers"
+    rows = {
+        "SEQ-A": ["1,1,10,10,20,20,1,1,1", "1,2,50,10,20,20,1,1,1",
+                  "2,1,14,10,20,20,1,1,1", "2,2,54,10,20,20,1,1,1"],
+        "SEQ-B": ["1,1,5,5,30,30,1,1,1", "2,1,9,5,30,30,1,1,1"],
+    }
+    for seq, lines in rows.items():
+        d = gt_root / seq / "gt"
+        d.mkdir(parents=True)
+        (d / "gt.txt").write_text("\n".join(lines) + "\n")
+        perfect = trk_root / "perfect"
+        perfect.mkdir(parents=True, exist_ok=True)
+        (perfect / f"{seq}.txt").write_text(
+            "\n".join(",".join(l.split(",")[:6]) + ",1,-1,-1,-1"
+                      for l in lines) + "\n")
+        # 'drops' loses every second row
+        drops = trk_root / "drops"
+        drops.mkdir(parents=True, exist_ok=True)
+        (drops / f"{seq}.txt").write_text(
+            "\n".join(",".join(l.split(",")[:6]) + ",1,-1,-1,-1"
+                      for l in lines[::2]) + "\n")
+
+    res = evaluate_mot_tracking_from_file(str(gt_root), str(trk_root))
+    assert set(res) == {"perfect", "drops"}
+    assert res["perfect"]["MOTA"] == pytest.approx(1.0)
+    assert res["perfect"]["IDF1"] == pytest.approx(1.0)
+    assert res["perfect"]["HOTA"] == pytest.approx(1.0, abs=1e-6)
+    assert res["drops"]["MOTA"] < res["perfect"]["MOTA"]
+
+    # single named tracker -> flat metrics dict
+    flat = evaluate_mot_tracking_from_file(
+        str(gt_root), str(trk_root), trackers_to_eval="perfect")
+    assert flat["MOTA"] == pytest.approx(1.0)
+    assert "SEQ-A/MOTA" in flat
