@@ -1,7 +1,9 @@
 from .coco_eval import CocoEvaluator, COCOProtocolEval, box_iou_xywh
 from .mot import (
     clear_metrics,
+    evaluate_mot_tracking_from_file,
     evaluate_mot_tracking_sequence,
+    evaluate_mot_tracking_sequences,
     hota_score,
     idf1_score,
 )
