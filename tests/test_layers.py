@@ -182,3 +182,22 @@ def test_dcn_per_tap_matches_dense_gather_oracle(key, rng):
     want = sampled.reshape(n, h, w, k * k * c) @ np.asarray(params["kernel"])
     want = want + np.asarray(params["bias"])
     np.testing.assert_allclose(np.asarray(y), want, rtol=1e-4, atol=1e-4)
+
+
+def test_dcn_far_out_of_bounds_samples_are_zero(key, rng):
+    """Samples landing entirely outside the feature map must contribute
+    exactly zero (torchvision zero-padded sampling), including via the
+    windowed-gather fast path's clipped windows."""
+    x = jnp.asarray(rng.normal(size=(1, 5, 5, 4)).astype(np.float32))
+    block = DeformableConvBlock(out_channels=3, version=1, use_norm=False,
+                                act=None)
+    variables = block.init(key, x, train=False)
+    params = jax.tree_util.tree_map(lambda p: jnp.zeros_like(p),
+                                    variables["params"])
+    # offset bias pushes EVERY sample 100 px off the map; kernel = ones
+    params = dict(params)
+    params["Conv_0"] = dict(params["Conv_0"],
+                            bias=jnp.full_like(params["Conv_0"]["bias"], 100.0))
+    params["kernel"] = jnp.ones_like(params["kernel"])
+    y = block.apply({"params": params}, x, train=False)
+    np.testing.assert_array_equal(np.asarray(y), 0.0)
