@@ -56,6 +56,14 @@ CONFIGS = {
         neck_config={"out_channels": 96, "conv_type": "separable"},
         head_config={"width": 96, "depth": 2},
     ),
+    "fairmot_mot17": dict(                  # MOT17 recipe: 1 class + 64-dim
+        backbone="resnet34", neck="FPN",    # ReID head @608x1088 (reference
+        neck_config={"out_channels": 256},  # configs/mot_tracking.yaml)
+        head_config={"width": 256, "depth": 3},
+        num_classes=1, image_size=(608, 1088),
+        reid_config={"emb_dim": 64, "max_track_ids": 2900,
+                     "width": 256, "depth": 1},
+    ),
 }
 
 
@@ -79,8 +87,11 @@ def bench_config(name: str, kwargs: dict, batch_size: int, on_tpu: bool):
     from centernet_lightning_tpu.ops.preprocess import preprocess
 
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
-    task = CenterNet(num_classes=80, num_detections=100, **kwargs)
-    variables = task.init(jax.random.PRNGKey(0), image_size=(512, 512),
+    kwargs = dict(kwargs)
+    h, w = kwargs.pop("image_size", (512, 512))
+    kwargs.setdefault("num_classes", 80)
+    task = CenterNet(num_detections=100, **kwargs)
+    variables = task.init(jax.random.PRNGKey(0), image_size=(h, w),
                           batch_size=1)
     variables = jax.tree_util.tree_map(
         lambda x: x.astype(dtype)
@@ -88,12 +99,17 @@ def bench_config(name: str, kwargs: dict, batch_size: int, on_tpu: bool):
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(
-        rng.integers(0, 255, size=(batch_size, 512, 512, 3), dtype=np.uint8))
+        rng.integers(0, 255, size=(batch_size, h, w, 3), dtype=np.uint8))
 
     def forward_decode(variables, imgs):
         out = task.model.apply(variables, imgs, train=False)
         heatmap = out["heatmap"].astype(jnp.float32)
         box = out["box_2d"].astype(jnp.float32)
+        if "reid" in out:
+            # tracking path: top-k + box + embedding gather in-graph
+            return task.decode_detections(
+                heatmap, box, reid=out["reid"].astype(jnp.float32),
+                from_logits=True)
         if on_tpu:
             return decode_detections_pallas(
                 heatmap, box, num_detections=task.num_detections,
