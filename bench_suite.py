@@ -19,7 +19,6 @@ from the difference between two loop lengths).
 """
 import json
 import os
-import time
 from functools import partial
 
 import jax
@@ -67,18 +66,9 @@ CONFIGS = {
 }
 
 
-def timed_loop(loop_fn, iters_small: int, iters_big: int):
-    float(loop_fn(iters_small))  # compile + warm
-    float(loop_fn(iters_big))
-
-    def run(n):
-        t0 = time.perf_counter()
-        float(loop_fn(n))
-        return time.perf_counter() - t0
-
-    t_small = min(run(iters_small) for _ in range(3))
-    t_big = min(run(iters_big) for _ in range(3))
-    return max(t_big - t_small, 1e-9) / (iters_big - iters_small)
+# the slope-timing methodology lives in bench.py (single source of truth —
+# it is load-bearing under the axon tunnel's dispatch caching)
+from bench import timed_loop  # noqa: E402
 
 
 def bench_config(name: str, kwargs: dict, batch_size: int, on_tpu: bool):

@@ -86,8 +86,6 @@ def coco_detection_collate_fn(batch):
     target dicts (variable length). The padded CollateDetection is the
     recommended contract on TPU (fixed shapes, no recompiles); this exists
     for API parity and host-side tooling."""
-    import numpy as np
-
     images = np.stack([s["image"] for s in batch], axis=0)
     targets = tuple(
         {k: v for k, v in s.items() if k != "image"} for s in batch

@@ -304,12 +304,20 @@ def evaluate_mot_tracking_sequences(per_sequence: Dict) -> Dict[str, float]:
     return out
 
 
+# MOT-Challenge distractor classes: person-on-vehicle, static person,
+# distractor, reflection (TrackEval MotChallenge2DBox preprocessing)
+_DISTRACTOR_CLASSES = (2.0, 7.0, 8.0, 12.0)
+
+
 def _parse_mot_txt(path: str, gt: bool = False):
-    """MOT-Challenge txt -> {frame: (xywh boxes, ids)}. GT rows keep only
-    'consider' flag 1 and (when present) pedestrian class 1/‑1
-    (MOT-Challenge gt.txt columns; reference datasets/mot.py:61-70 applies
-    the same filters when loading sequences)."""
+    """MOT-Challenge txt -> ({frame: (xywh boxes, ids)}, {frame: distractor
+    boxes}). Scoring GT rows keep 'consider' flag 1 and pedestrian class
+    1/-1 (MOT gt.txt columns); rows of the distractor classes are returned
+    separately so tracker detections matched to them can be removed before
+    scoring (TrackEval MotChallenge2DBox preproc). For tracker files
+    (gt=False) the distractor dict is empty."""
     frames: Dict[int, list] = {}
+    distractors: Dict[int, list] = {}
     if os.path.exists(path):
         with open(path) as f:
             for line in f:
@@ -319,16 +327,35 @@ def _parse_mot_txt(path: str, gt: bool = False):
                 frame, tid = int(float(parts[0])), int(float(parts[1]))
                 box = [float(v) for v in parts[2:6]]
                 if gt:
+                    cls = float(parts[7]) if len(parts) > 7 else 1.0
+                    if cls in _DISTRACTOR_CLASSES:
+                        distractors.setdefault(frame, []).append(box)
+                        continue
                     if len(parts) > 6 and float(parts[6]) == 0:
-                        continue  # ignore flag
-                    if len(parts) > 7 and float(parts[7]) not in (1.0, -1.0):
-                        continue  # non-pedestrian class
+                        continue  # zero-marked: not scored, not a distractor
+                    if cls not in (1.0, -1.0):
+                        continue  # other non-pedestrian class
                 frames.setdefault(frame, []).append((box, tid))
     out = {}
     for frame, rows in frames.items():
         out[frame] = (np.asarray([r[0] for r in rows], np.float64),
                       np.asarray([r[1] for r in rows], np.int64))
-    return out
+    return out, {f: np.asarray(b, np.float64) for f, b in distractors.items()}
+
+
+def _remove_distractor_matches(pred_boxes, pred_ids, distractor_boxes,
+                               iou_threshold: float = 0.5):
+    """Drop tracker detections whose best Hungarian match against a
+    distractor GT has IoU >= threshold (TrackEval MotChallenge2DBox
+    preprocessing: trackers are not penalized for following static people,
+    reflections, etc.)."""
+    if len(pred_boxes) == 0 or len(distractor_boxes) == 0:
+        return pred_boxes, pred_ids
+    sim = box_iou_xywh(pred_boxes, distractor_boxes)
+    rows, cols = linear_sum_assignment(-sim)
+    drop = rows[sim[rows, cols] >= iou_threshold - _EPS]
+    keep = np.setdiff1d(np.arange(len(pred_boxes)), drop)
+    return pred_boxes[keep], pred_ids[keep]
 
 
 def evaluate_mot_tracking_from_file(
@@ -337,7 +364,11 @@ def evaluate_mot_tracking_from_file(
 ) -> Dict[str, float]:
     """Evaluate MOT-format result FILES against a MOT-Challenge GT tree —
     the reference's TrackEval bridge (eval/mot_challenge.py:87-138),
-    implemented directly (no temp-config TrackEval run).
+    implemented directly (no temp-config TrackEval run). Applies TrackEval's
+    MotChallenge2DBox preprocessing: tracker detections Hungarian-matched
+    (IoU >= 0.5) to distractor-class GT rows (person-on-vehicle, static
+    person, distractor, reflection) are removed before scoring; zero-marked
+    pedestrian GT rows are excluded from the scoring set.
 
     Layout: `<gt_folder>/<seq>/gt/gt.txt` (+ seqinfo.ini), tracker results
     at `<trackers_folder>/<tracker>/<seq>.txt`. Sequences come from
@@ -366,21 +397,26 @@ def evaluate_mot_tracking_from_file(
     for tracker in trackers:
         per_seq = {}
         for seq in seqs:
-            gt_frames = _parse_mot_txt(
+            gt_frames, gt_distractors = _parse_mot_txt(
                 os.path.join(gt_folder, seq, "gt", "gt.txt"), gt=True)
-            pr_frames = _parse_mot_txt(
+            pr_frames, _ = _parse_mot_txt(
                 os.path.join(trackers_folder, tracker, f"{seq}.txt"))
             last = max(list(gt_frames) + list(pr_frames) + [0])
             empty = (np.zeros((0, 4)), np.zeros(0, np.int64))
+            no_boxes = np.zeros((0, 4))
+            preds = [
+                _remove_distractor_matches(
+                    *pr_frames.get(f, empty),
+                    gt_distractors.get(f, no_boxes))
+                for f in range(1, last + 1)
+            ]
             per_seq[seq] = {
                 "target_bboxes": [gt_frames.get(f, empty)[0]
                                   for f in range(1, last + 1)],
                 "target_track_ids": [gt_frames.get(f, empty)[1]
                                      for f in range(1, last + 1)],
-                "pred_bboxes": [pr_frames.get(f, empty)[0]
-                                for f in range(1, last + 1)],
-                "pred_track_ids": [pr_frames.get(f, empty)[1]
-                                   for f in range(1, last + 1)],
+                "pred_bboxes": [p[0] for p in preds],
+                "pred_track_ids": [p[1] for p in preds],
             }
         results[tracker] = evaluate_mot_tracking_sequences(per_seq)
     if len(results) == 1:

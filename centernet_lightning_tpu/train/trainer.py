@@ -232,24 +232,49 @@ class Trainer:
         """SIGTERM/SIGINT request a graceful stop: finish the current step,
         checkpoint, exit cleanly so auto-resume continues the run (the
         failure-recovery behavior the reference lacks, SURVEY.md §5.3 — its
-        recovery is manual resume only). Returns the handlers to restore."""
+        recovery is manual resume only). A SECOND signal escalates: the
+        original handler is restored and the signal re-raised, so a repeat
+        Ctrl-C during a long compile/validation actually aborts.
+        Returns the handlers to restore."""
         import signal
 
         self._stop_requested = False
+        previous = {}
 
         def handler(signum, frame):
+            if self._stop_requested:  # escalate on repeat
+                signal.signal(signum, previous.get(signum, signal.SIG_DFL))
+                os.kill(os.getpid(), signum)
+                return
             self._stop_requested = True
             if jax.process_index() == 0:
                 print(f"signal {signum}: stopping after the current step "
-                      f"(checkpoint + clean exit)")
+                      f"(checkpoint + clean exit); repeat to force-abort")
 
-        previous = {}
         for sig in (signal.SIGTERM, signal.SIGINT):
             try:
                 previous[sig] = signal.signal(sig, handler)
             except ValueError:  # not the main thread (tests/embedders)
                 pass
         return previous
+
+    def _should_stop(self) -> bool:
+        """Cross-host agreement on the preemption flag: in multihost runs
+        the signal may reach only some hosts (or at different steps); acting
+        on a local flag would leave the other hosts blocked in the next
+        step's collectives. Any host's flag stops all of them at the SAME
+        step boundary."""
+        if not self._stop_requested and jax.process_count() == 1:
+            return False
+        if jax.process_count() == 1:
+            return self._stop_requested
+        from ..parallel.mesh import all_gather_host
+
+        flags = np.asarray(all_gather_host(
+            np.asarray([1.0 if self._stop_requested else 0.0])))
+        stop = bool(flags.any())
+        self._stop_requested = stop  # adopt the group decision
+        return stop
 
     def _restore_signal_handlers(self, previous):
         import signal
@@ -270,6 +295,14 @@ class Trainer:
         finally:
             self._restore_signal_handlers(previous_handlers)
 
+    def _stop_profile(self):
+        """Close the jax.profiler trace if one is open (normal end of the
+        first epoch OR a preemption early-return — an unstopped trace never
+        flushes and makes the next start_trace raise)."""
+        if self.profile and jax.process_index() == 0:
+            jax.profiler.stop_trace()
+        self.profile = False
+
     def _fit_loop(self):
         first_batch_logged = not self.diagnostics
         for epoch in range(self.start_epoch, self.max_epochs):
@@ -282,7 +315,8 @@ class Trainer:
                 sharded = self._shard(batch)
                 n_imgs += batch["image"].shape[0]
                 self.state, losses = self.train_step(self.state, sharded)
-                if self._stop_requested:
+                if self._should_stop():
+                    self._stop_profile()
                     self._save(epoch)  # resume restarts this epoch
                     wait_for_saves()
                     if jax.process_index() == 0:
@@ -295,9 +329,8 @@ class Trainer:
                     metrics["train/images_per_sec"] = n_imgs / (time.time() - t0)
                     self.logger.log(metrics, step)
 
-            if self.profile and epoch == self.start_epoch and jax.process_index() == 0:
-                jax.profiler.stop_trace()
-                self.profile = False
+            if epoch == self.start_epoch:
+                self._stop_profile()
 
             if self.val_loader is not None and (epoch + 1) % self.val_interval == 0:
                 metrics = self.validate()

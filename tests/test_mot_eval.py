@@ -190,3 +190,52 @@ def test_evaluate_mot_tracking_from_file(tmp_path):
         str(gt_root), str(trk_root), trackers_to_eval="perfect")
     assert flat["MOTA"] == pytest.approx(1.0)
     assert "SEQ-A/MOTA" in flat
+
+
+def test_from_file_distractor_preprocessing(tmp_path):
+    """TrackEval MotChallenge2DBox preproc: tracker detections matched to
+    distractor-class GT (static person etc.) are removed before scoring —
+    following a static person must not cost MOTA/IDF1/HOTA."""
+    from centernet_lightning_tpu.eval.mot import (
+        evaluate_mot_tracking_from_file,
+    )
+
+    d = tmp_path / "gt" / "SEQ" / "gt"
+    d.mkdir(parents=True)
+    # frame 1&2: one scored pedestrian (class 1, flag 1) + one static
+    # person (class 7, flag 0) + one zero-marked pedestrian (not scored)
+    d.joinpath("gt.txt").write_text(
+        "1,1,10,10,20,20,1,1,1\n"
+        "1,5,60,60,20,20,0,7,1\n"
+        "1,9,10,60,20,20,0,1,1\n"
+        "2,1,12,10,20,20,1,1,1\n"
+        "2,5,60,60,20,20,0,7,1\n"
+        "2,9,10,60,20,20,0,1,1\n")
+    trk = tmp_path / "trk" / "t"
+    trk.mkdir(parents=True)
+    # tracker reports the pedestrian AND the static person
+    trk.joinpath("SEQ.txt").write_text(
+        "1,1,10,10,20,20,1,-1,-1,-1\n"
+        "1,2,60,60,20,20,1,-1,-1,-1\n"
+        "2,1,12,10,20,20,1,-1,-1,-1\n"
+        "2,2,60,60,20,20,1,-1,-1,-1\n")
+    res = evaluate_mot_tracking_from_file(
+        str(tmp_path / "gt"), str(tmp_path / "trk"))
+    # static-person detections removed, zero-marked ped not demanded:
+    # perfect score
+    assert res["MOTA"] == pytest.approx(1.0)
+    assert res["IDF1"] == pytest.approx(1.0)
+
+    # without the preproc the static-person det would be an FP per frame:
+    # MOTA = 1 - 2/2 = 0 — guard against regressions by checking a tracker
+    # that reports a truly spurious box IS penalized
+    trk2 = tmp_path / "trk" / "fp"
+    trk2.mkdir(parents=True)
+    trk2.joinpath("SEQ.txt").write_text(
+        "1,1,10,10,20,20,1,-1,-1,-1\n"
+        "1,2,35,35,10,10,1,-1,-1,-1\n"
+        "2,1,12,10,20,20,1,-1,-1,-1\n")
+    res2 = evaluate_mot_tracking_from_file(
+        str(tmp_path / "gt"), str(tmp_path / "trk"),
+        trackers_to_eval="fp")
+    assert res2["MOTA"] < 1.0

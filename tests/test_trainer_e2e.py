@@ -235,6 +235,7 @@ def test_trainer_sigterm_checkpoints_and_exits_cleanly(synthetic_coco, tmp_path)
                     yield batch
 
     ckpt = str(tmp_path / "ckpt")
+    prior_handler = _signal.getsignal(_signal.SIGTERM)
     t1 = Trainer(CenterNet(**task_kwargs),
                  train_loader=KillingLoader(make_loader(synthetic_coco)),
                  max_epochs=1, image_size=(IMG, IMG), ckpt_dir=ckpt,
@@ -251,6 +252,5 @@ def test_trainer_sigterm_checkpoints_and_exits_cleanly(synthetic_coco, tmp_path)
                  max_epochs=1, image_size=(IMG, IMG), ckpt_dir=ckpt,
                  diagnostics=False)
     assert int(t2.state.step) == 3
-    # default handler restored after fit()
-    assert _signal.getsignal(_signal.SIGTERM) in (
-        _signal.SIG_DFL, _signal.default_int_handler) or True
+    # fit() restored whatever handler was installed before it ran
+    assert _signal.getsignal(_signal.SIGTERM) is prior_handler

@@ -100,6 +100,15 @@ def main():
     parser.add_argument("--width", type=int, default=512)
     args = parser.parse_args()
 
+    if args.torch_ckpt and not args.config:
+        parser.error("--torch-ckpt requires --config (the torch state dict "
+                     "carries no hparams)")
+    if args.torch_ckpt and args.checkpoint:
+        parser.error("--torch-ckpt and --checkpoint are mutually exclusive "
+                     "weight sources")
+    if not (args.config or args.checkpoint):
+        parser.error("one of --config / --checkpoint is required")
+
     from centernet_lightning_tpu import build_centernet
 
     source = args.config or args.checkpoint
