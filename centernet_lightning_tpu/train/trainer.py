@@ -384,13 +384,25 @@ class Trainer:
             pass
 
     def validate_detection(self) -> Dict[str, float]:
-        """COCO validation epoch (reference centernet.py:202-218)."""
+        """COCO validation epoch (reference centernet.py:202-218).
+
+        Pipelined one deep like inference_tracking: the NEXT batch's
+        forward+decode is dispatched (async) before the previous batch's
+        top-k arrays are pulled to host, so the device computes while the
+        host runs box conversion + evaluator accumulation."""
         evaluator = CocoEvaluator(self.task.num_classes)
         logged = not self.diagnostics
-        for batch in self.val_loader:
-            sharded = self._shard(batch)
-            dets = self.eval_step(self.state, sharded)
-            dets = jax.device_get(dets)
+
+        def forwarded():
+            for batch in self.val_loader:
+                yield batch, self.eval_step(self.state, self._shard(batch))
+
+        it = forwarded()
+        pending = next(it, None)
+        while pending is not None:
+            batch, dets_dev = pending
+            pending = next(it, None)  # dispatch next before the D2H sync
+            dets = jax.device_get(dets_dev)
             if not logged and jax.process_index() == 0:
                 self._log_prediction_diagnostic(batch, dets, int(self.state.step))
                 logged = True
