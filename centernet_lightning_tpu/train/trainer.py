@@ -190,17 +190,30 @@ class Trainer:
                         keep_last=1 if tag else 3, async_save=True)
 
     def _shard(self, batch):
+        from ..parallel.mesh import shard_batch
+
+        batch = {k: v for k, v in batch.items() if k != "image_id"}
         n = batch["image"].shape[0]
+        if jax.process_count() > 1:
+            # each process contributes its local slice; slices join into
+            # the global batch (mesh.shard_batch multihost path). Ragged
+            # final batches can't be expressed that way — require the
+            # loader to drop them.
+            local_shards = self.mesh.shape["data"] // jax.process_count()
+            if local_shards == 0 or n % max(local_shards, 1) != 0:
+                raise ValueError(
+                    f"multihost validation/training needs per-process "
+                    f"batches divisible by the local mesh slots "
+                    f"({local_shards}); got {n}. Set drop_last=True on the "
+                    f"dataloader.")
+            return shard_batch(batch, self.mesh)
         if n % self.mesh.shape["data"] == 0:
-            sharding = batch_sharding(self.mesh)
-        else:
-            # ragged final eval batch: replicate over the same mesh so the
-            # placement matches the (replicated) train state
-            sharding = replicated(self.mesh)
-        return {
-            k: jax.device_put(jnp.asarray(v), sharding)
-            for k, v in batch.items() if k != "image_id"
-        }
+            return shard_batch(batch, self.mesh)
+        # ragged final eval batch: replicate over the same mesh so the
+        # placement matches the (replicated) train state
+        sharding = replicated(self.mesh)
+        return {k: jax.device_put(jnp.asarray(v), sharding)
+                for k, v in batch.items()}
 
     # ------------------------------------------------------------------
 
