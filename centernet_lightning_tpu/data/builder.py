@@ -94,3 +94,19 @@ def build_dataloader(
         collate_fn=collate, num_workers=num_workers,
         drop_last=shuffle if drop_last is None else drop_last, seed=seed,
     )
+
+
+def loader_from_config(config, train: bool, seed=None):
+    """Dataset + DataLoader from ONE config dict — the single home for the
+    loader-key plumbing used by both CenterNet.get_dataloader (reference
+    centernet.py:220-227) and the train CLI. An explicit `shuffle` in the
+    config overrides the train/eval default."""
+    cfg = dict(config)
+    cfg.setdefault("type", "coco")
+    loader_keys = {"batch_size", "num_workers", "shuffle", "max_boxes",
+                   "drop_last", "pin_memory"}
+    loader_cfg = {k: cfg.pop(k) for k in list(cfg) if k in loader_keys}
+    loader_cfg.pop("pin_memory", None)  # no pinned-host-memory notion here
+    shuffle = loader_cfg.pop("shuffle", train)
+    ds = build_dataset(cfg, seed=(0 if train else 1) if seed is None else seed)
+    return build_dataloader(ds, shuffle=shuffle, **loader_cfg)

@@ -57,7 +57,8 @@ def _pad_batch(batch: List[Dict], keys, max_boxes: Optional[int]) -> Dict[str, n
 
 
 class CollateDetection:
-    """items {image, bboxes, labels} -> padded {image, bboxes, labels, mask}."""
+    """items {image, bboxes, labels} -> padded {image, boxes, labels, mask}
+    (dataset "bboxes" renamed to batch "boxes" here — the repo convention)."""
 
     def __init__(self, max_boxes: Optional[int] = 128):
         self.max_boxes = max_boxes

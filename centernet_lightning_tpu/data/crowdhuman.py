@@ -44,6 +44,8 @@ class CrowdHumanDataset:
         rec = self.records[idx]
         path = os.path.join(self.img_dir, rec["ID"] + ".jpg")
         img = cv2.imread(path)
+        if img is None:
+            raise FileNotFoundError(f"cannot read image {path}")
         img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
         h_img, w_img = img.shape[:2]
 

@@ -34,7 +34,10 @@ class DetectionForTracking:
 
     @staticmethod
     def _num_boxes(dataset, idx: int) -> int:
-        # use preloaded targets when available to avoid decoding images
+        # use annotation-only accessors when available: never decode
+        # images just to count boxes (minutes of startup otherwise)
+        if hasattr(dataset, "num_annotations"):
+            return dataset.num_annotations(idx)
         targets = getattr(dataset, "targets", None)
         images = getattr(dataset, "images", None)
         if targets is not None and images is not None:

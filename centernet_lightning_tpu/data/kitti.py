@@ -63,7 +63,10 @@ class KITTITrackingSequence:
         return len(self.image_files)
 
     def get_raw(self, idx: int, id_offset: int = 0) -> Dict:
-        img = cv2.imread(os.path.join(self.image_dir, self.image_files[idx]))
+        path = os.path.join(self.image_dir, self.image_files[idx])
+        img = cv2.imread(path)
+        if img is None:
+            raise FileNotFoundError(f"cannot read image {path}")
         img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
         data = self.frames[idx]
         # boxes clipped to actual image dims at getitem (kitti.py:97-101)

@@ -75,6 +75,8 @@ class MOTTrackingSequence:
         frame = idx + 1
         path = os.path.join(self.img_dir, f"{frame:06d}{self.img_ext}")
         img = cv2.imread(path)
+        if img is None:
+            raise FileNotFoundError(f"cannot read image {path}")
         img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
         data = self.frames[frame]
         return {

@@ -68,9 +68,22 @@ class VOCDataset:
     def __len__(self) -> int:
         return len(self.ids)
 
+    def num_annotations(self, idx: int) -> int:
+        """Box count from the XML alone — no image decode (used by
+        DetectionForTracking to assign synthetic track-id ranges without
+        reading every JPEG at construction time)."""
+        _, labels = process_voc_xml(
+            os.path.join(self.data_dir, "Annotations", f"{self.ids[idx]}.xml"),
+            self.name_to_label,
+        )
+        return len(labels)
+
     def __getitem__(self, idx: int) -> Dict:
         name = self.ids[idx]
-        img = cv2.imread(os.path.join(self.data_dir, "JPEGImages", f"{name}.jpg"))
+        path = os.path.join(self.data_dir, "JPEGImages", f"{name}.jpg")
+        img = cv2.imread(path)
+        if img is None:
+            raise FileNotFoundError(f"cannot read image {path}")
         img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
         boxes, labels = process_voc_xml(
             os.path.join(self.data_dir, "Annotations", f"{name}.xml"),

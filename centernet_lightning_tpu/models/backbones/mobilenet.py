@@ -17,6 +17,15 @@ from flax import linen as nn
 __all__ = ["MobileNetV2", "MobileNetV3Large", "mobilenet_v2", "mobilenet_v3_large"]
 
 
+def _make_divisible(v: int, divisor: int = 8) -> int:
+    """torchvision's channel-rounding rule — SE widths must match it for
+    checkpoint conversion (torchvision mobilenetv3 _make_divisible)."""
+    new_v = max(divisor, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
 def hard_sigmoid(x):
     return jnp.clip(x / 6.0 + 0.5, 0.0, 1.0)
 
@@ -40,6 +49,8 @@ class ConvBN(nn.Module):
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-3)(x)
         if self.act == "relu6":
             x = jnp.minimum(nn.relu(x), 6.0)
+        elif self.act == "relu":
+            x = nn.relu(x)
         elif self.act == "hswish":
             x = hard_swish(x)
         return x
@@ -75,7 +86,7 @@ class InvertedResidual(nn.Module):
         y = ConvBN(hidden, self.kernel, strides=self.strides, groups=hidden,
                    act=self.act)(y, train)
         if self.se:
-            y = SqueezeExcite(max(1, hidden // 4))(y)
+            y = SqueezeExcite(_make_divisible(max(1, hidden // 4)))(y)
         y = ConvBN(self.filters, 1, act="none")(y, train)
         if self.strides == 1 and in_c == self.filters:
             y = y + x
@@ -133,12 +144,12 @@ class MobileNetV3Large(nn.Module):
 
     # kernel, expand_c, out_c, se, act, stride
     _cfg = (
-        (3, 16, 16, False, "relu6", 1),
-        (3, 64, 24, False, "relu6", 2),
-        (3, 72, 24, False, "relu6", 1),
-        (5, 72, 40, True, "relu6", 2),
-        (5, 120, 40, True, "relu6", 1),
-        (5, 120, 40, True, "relu6", 1),
+        (3, 16, 16, False, "relu", 1),
+        (3, 64, 24, False, "relu", 2),
+        (3, 72, 24, False, "relu", 1),
+        (5, 72, 40, True, "relu", 2),
+        (5, 120, 40, True, "relu", 1),
+        (5, 120, 40, True, "relu", 1),
         (3, 240, 80, False, "hswish", 2),
         (3, 200, 80, False, "hswish", 1),
         (3, 184, 80, False, "hswish", 1),

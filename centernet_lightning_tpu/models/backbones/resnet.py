@@ -81,7 +81,6 @@ class ResNet(nn.Module):
 
     @property
     def out_channels(self) -> List[int]:
-        exp = getattr(self.block_cls, "expansion", None)
         mult = 4 if self.block_cls is Bottleneck else 1
         return [self.width * (2 ** i) * mult for i in range(4)]
 

@@ -118,10 +118,7 @@ class CenterNet:
                 self.model.init, train=True,
                 method=self.model.classify_embeddings,
             ))(rng, jnp.zeros((2, emb_dim)))
-            variables = jax.tree_util.tree_map(
-                lambda a: a,
-                _merge_variables(variables, cls_vars),
-            )
+            variables = _merge_variables(variables, cls_vars)
         return variables
 
     def _load_pretrained_backbone(self, variables):
@@ -274,18 +271,12 @@ class CenterNet:
     def get_dataloader(self, train: bool = True):
         """Build the train/val dataloader from the task's data hparams
         (reference centernet.py:220-227)."""
-        from ..data.builder import build_dataloader, build_dataset
+        from ..data.builder import loader_from_config
 
         config = dict((self.train_data if train else self.val_data) or {})
         if not config:
             raise ValueError("no train_data/val_data configured")
-        config.setdefault("type", "coco")
-        loader_keys = {"batch_size", "num_workers", "shuffle", "max_boxes",
-                       "drop_last", "pin_memory"}
-        loader_cfg = {k: config.pop(k) for k in list(config) if k in loader_keys}
-        loader_cfg.pop("pin_memory", None)
-        ds = build_dataset(config, seed=0 if train else 1)
-        return build_dataloader(ds, shuffle=train, **loader_cfg)
+        return loader_from_config(config, train=train)
 
     @property
     def hparams(self) -> Dict[str, Any]:

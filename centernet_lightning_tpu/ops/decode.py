@@ -40,10 +40,11 @@ def decode_detections_auto(*args, **kwargs):
     trace time."""
     import jax
 
-    if jax.default_backend() == "tpu" and kwargs.get("nms_kernel", 3) == 3:
+    if (jax.default_backend() == "tpu" and kwargs.get("nms_kernel", 3) == 3
+            and kwargs.get("pseudo_nms", True)):
         from .pallas_decode import decode_detections_pallas
 
-        kwargs.pop("pseudo_nms", None)
+        kwargs.pop("pseudo_nms", None)  # the fused kernel always suppresses
         return decode_detections_pallas(*args, **kwargs)
     return decode_detections(*args, **kwargs)
 
@@ -163,6 +164,7 @@ def decode_detections(
     box_multiplier: float = 1.0,
     stride: int = 4,
     from_logits: bool = False,
+    pseudo_nms: bool = True,
 ) -> Dict[str, jnp.ndarray]:
     """Full decode. Returns dict with boxes (xyxy), scores, labels
     [+ embeddings when reid given] — reference centernet.py:229-241 and
@@ -170,7 +172,7 @@ def decode_detections(
     """
     scores, indices, labels = get_topk_from_heatmap(
         heatmap, num_detections=num_detections, nms_kernel=nms_kernel,
-        from_logits=from_logits,
+        pseudo_nms=pseudo_nms, from_logits=from_logits,
     )
     boxes = gather_and_decode_boxes(
         box_offsets,

@@ -415,3 +415,25 @@ def test_xyah_round_trip():
                                atol=1e-9)
     xyah = xyxy_to_xyah(np.asarray([10., 20., 50., 80.]))
     np.testing.assert_allclose(xyah, [30., 50., 40. / 60., 60.])
+
+
+def test_loader_from_config_honors_shuffle_key(coco_dir):
+    """Regression: a 'shuffle' key in train_data/val_data must override the
+    train default instead of raising 'multiple values for shuffle'."""
+    from centernet_lightning_tpu.data.builder import loader_from_config
+
+    img_dir, ann = coco_dir
+    cfg = {"type": "coco", "img_dir": img_dir, "ann_json": ann,
+           "transforms": [{"name": "Resize",
+                           "init_args": {"height": 64, "width": 64}},
+                          {"name": "Normalize"}],
+           "batch_size": 2, "num_workers": 0, "max_boxes": 8,
+           "shuffle": False}
+    loader = loader_from_config(cfg, train=True)   # would crash before
+    batches = list(loader)
+    assert sum(b["image"].shape[0] for b in batches) == 4
+    # deterministic order with shuffle disabled
+    first = [b["image_id"].tolist() for b in batches]
+    second = [b["image_id"].tolist() for b in loader_from_config(
+        dict(cfg), train=True)]
+    assert first == second

@@ -143,3 +143,31 @@ def test_decode_golden_regression():
                                rtol=1e-6, atol=1e-7)
     np.testing.assert_allclose(np.asarray(out["boxes"]), data["boxes"],
                                rtol=1e-5, atol=1e-5)
+
+
+def test_decode_detections_auto_pseudo_nms_false():
+    """Regression: pseudo_nms=False must reach the decoder (not TypeError,
+    not silently re-enabled) — scores then keep non-peak pixels."""
+    import jax
+    import numpy as np
+
+    from centernet_lightning_tpu.ops.decode import (
+        decode_detections, decode_detections_auto,
+    )
+
+    rng = np.random.default_rng(0)
+    hm = jax.nn.sigmoid(jnp.asarray(
+        rng.normal(size=(1, 16, 16, 2)).astype(np.float32)))
+    off = jnp.abs(jnp.asarray(rng.normal(size=(1, 16, 16, 4), scale=2.0)
+                              .astype(np.float32)))
+    with_nms = decode_detections_auto(hm, off, num_detections=20)
+    without = decode_detections_auto(hm, off, num_detections=20,
+                                     pseudo_nms=False)
+    direct = decode_detections(hm, off, num_detections=20, pseudo_nms=False)
+    np.testing.assert_allclose(np.asarray(without["scores"]),
+                               np.asarray(direct["scores"]))
+    # unsuppressed top-k keeps neighboring pixels: score sum is >= the
+    # suppressed one and the sets differ on dense random maps
+    assert float(jnp.sum(without["scores"])) >= float(jnp.sum(with_nms["scores"]))
+    assert not np.array_equal(np.asarray(without["scores"]),
+                              np.asarray(with_nms["scores"]))

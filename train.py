@@ -12,7 +12,7 @@ from __future__ import annotations
 import argparse
 import os
 
-from centernet_lightning_tpu.data import build_dataloader, build_dataset
+from centernet_lightning_tpu.data.builder import loader_from_config
 from centernet_lightning_tpu.models.centernet import CenterNet
 from centernet_lightning_tpu.models.fairmot import FairMOT
 from centernet_lightning_tpu.train.config import load_config, normalize_config
@@ -61,14 +61,7 @@ def main():
     def make_loader(data_cfg, train):
         if not data_cfg or "type" not in data_cfg and "img_dir" not in data_cfg:
             return None
-        cfg = dict(data_cfg)
-        cfg.setdefault("type", "coco")
-        loader_keys = {"batch_size", "num_workers", "shuffle", "max_boxes",
-                       "drop_last", "pin_memory"}
-        loader_cfg = {k: cfg.pop(k) for k in list(cfg) if k in loader_keys}
-        loader_cfg.pop("pin_memory", None)
-        ds = build_dataset(cfg, seed=0 if train else 1)
-        return build_dataloader(ds, shuffle=train, **loader_cfg)
+        return loader_from_config(data_cfg, train=train)
 
     train_loader = make_loader(train_data, train=True)
     val_loader = make_loader(val_data, train=False)
