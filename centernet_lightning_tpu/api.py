@@ -65,14 +65,22 @@ class CenterNetPredictor:
         self.image_size = tuple(image_size)
         self.mean = tuple(mean)
         self.std = tuple(std)
+        self._decode_cache: Dict[Any, Any] = {}
 
     # ------------------------------------------------------------------
     # jitted device programs (cached per (k, nms, normalize) signature)
     # ------------------------------------------------------------------
 
-    @functools.lru_cache(maxsize=8)
     def _decode_fn(self, num_detections: int, nms_kernel: int, normalize: bool,
                    raw_uint8: bool):
+        # per-INSTANCE jit cache: an lru_cache on the method would key on
+        # self at class level, pinning every predictor's weight tree for
+        # the process lifetime and sharing one eviction budget across
+        # instances (recompile thrash)
+        key = (num_detections, nms_kernel, normalize, raw_uint8)
+        cached = self._decode_cache.get(key)
+        if cached is not None:
+            return cached
         task, mean, std = self.task, self.mean, self.std
 
         dtype = self.compute_dtype
@@ -94,11 +102,15 @@ class CenterNetPredictor:
                 from_logits=True,
             )
 
-        return jax.jit(fn)
+        jitted = jax.jit(fn)
+        self._decode_cache[key] = jitted
+        return jitted
 
     def __call__(self, images, train: bool = False):
-        """Raw forward: encoded outputs dict (README.md:92-95 step 1)."""
-        return self.task.model.apply(self.variables, images, train=train)
+        """Raw forward: encoded outputs dict (README.md:92-95 step 1).
+        train=True routes through task.apply (mutable batch_stats) and
+        returns (outputs, mutated_variables) like flax does."""
+        return self.task.apply(self.variables, images, train=train)
 
     def gather_detection2d(self, images, num_detections: Optional[int] = None,
                            nms_kernel: Optional[int] = None,
@@ -151,6 +163,20 @@ class CenterNetPredictor:
             normalize_boxes=True,
         )
 
+    def _gather_tracking_device(self, images, num_detections=None,
+                                nms_kernel=None):
+        """gather_tracking2d but returning DEVICE arrays: dispatch is async,
+        so the caller can overlap the forward with host work and convert to
+        numpy later (inference_tracking's software pipeline depends on
+        this — np.asarray at dispatch time would serialize everything)."""
+        images = jnp.asarray(images)
+        fn = self._decode_fn(
+            num_detections or self.task.num_detections,
+            nms_kernel or self.task.nms_kernel, True,
+            images.dtype == jnp.uint8,
+        )
+        return fn(self.variables, images)
+
     # ------------------------------------------------------------------
     # folder APIs
     # ------------------------------------------------------------------
@@ -160,7 +186,8 @@ class CenterNetPredictor:
                             score_threshold: float = 0.0) -> Dict[str, np.ndarray]:
         """Detect over a folder (README.md:49-65): returns numpy
         {bboxes (I,K,4) xyxy in ORIGINAL image coords, labels (I,K),
-        scores (I,K)}."""
+        scores (I,K)}. Shapes stay fixed at K=num_detections; entries below
+        `score_threshold` are masked out (label -1, score/box 0)."""
         ds = InferenceDataset(img_dir, resize=self.image_size)
         all_boxes, all_labels, all_scores, paths = [], [], [], []
 
@@ -180,9 +207,10 @@ class CenterNetPredictor:
                     item["original_width"], item["original_height"],
                     item["original_width"], item["original_height"],
                 ], np.float32)
-                all_boxes.append(dets["bboxes"][i] * scale)
-                all_labels.append(dets["labels"][i])
-                all_scores.append(dets["scores"][i])
+                keep = dets["scores"][i] >= score_threshold
+                all_boxes.append(dets["bboxes"][i] * scale * keep[:, None])
+                all_labels.append(np.where(keep, dets["labels"][i], -1))
+                all_scores.append(dets["scores"][i] * keep)
                 paths.append(item["image_path"])
 
         return {
@@ -237,25 +265,30 @@ class CenterNetPredictor:
             return items, batch
 
         # software pipeline: the device forward of batch i+1 is dispatched
-        # (async) before the host runs batch i's Hungarian association, so
-        # the TPU is never idle during association (SURVEY.md §7 hard parts)
+        # (async, device arrays — no host sync) before the host runs batch
+        # i's Hungarian association, so the TPU computes while the host
+        # associates (SURVEY.md §7 hard parts). The numpy conversion (the
+        # only blocking point) happens AFTER the next dispatch.
         starts = list(range(0, len(ds), batch_size))
         pending = None
         if starts:
             k = cfg.get("num_detections", tracker.num_detections)
             items, batch = load_batch(starts[0])
-            pending = (items, self.gather_tracking2d(
-                jnp.asarray(batch), num_detections=k,
-                nms_kernel=cfg.get("nms_kernel")))
+            pending = (items, self._gather_tracking_device(
+                batch, num_detections=k, nms_kernel=cfg.get("nms_kernel")))
 
         frame = 0
         for idx, start in enumerate(starts):
-            items, dets = pending
+            items, dets_dev = pending
             if idx + 1 < len(starts):
                 nxt_items, nxt_batch = load_batch(starts[idx + 1])
-                pending = (nxt_items, self.gather_tracking2d(
-                    jnp.asarray(nxt_batch), num_detections=k,
+                pending = (nxt_items, self._gather_tracking_device(
+                    nxt_batch, num_detections=k,
                     nms_kernel=cfg.get("nms_kernel")))
+            dets = {"bboxes": np.asarray(dets_dev["boxes"]),
+                    "labels": np.asarray(dets_dev["labels"]),
+                    "scores": np.asarray(dets_dev["scores"]),
+                    "embeddings": np.asarray(dets_dev["embeddings"])}
             n = len(items)
             step_out = {"bboxes": [], "track_ids": []}
             for i in range(n):

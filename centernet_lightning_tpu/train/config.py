@@ -56,6 +56,19 @@ _GEN_A_BOX_LOSSES = {
 }
 
 
+def _map_loss_name(name, table, kind):
+    """Gen-A loss name -> Gen-B class name. Already-normalized Gen-B names
+    pass through; anything unknown is a hard error — a typo silently
+    falling back to the default loss trains the wrong objective."""
+    if name in table:
+        return table[name]
+    if name in table.values():
+        return name
+    raise KeyError(
+        f"unknown {kind} loss {name!r}; expected one of "
+        f"{sorted(table) + sorted(table.values())}")
+
+
 def _is_gen_a(model_cfg: Dict) -> bool:
     return "output_heads" in model_cfg or "task" in model_cfg
 
@@ -85,11 +98,13 @@ def normalize_config(config: Dict[str, Any]) -> Dict[str, Any]:
         "pretrained_backbone": bb.get("pretrained", False),
         "neck": neck_name,
         "neck_config": neck_config or None,
-        "heatmap_loss": _GEN_A_HEATMAP_LOSSES.get(
-            hm.get("loss_function", "cornernet_focal"), "CornerNetFocalLoss"),
+        "heatmap_loss": _map_loss_name(
+            hm.get("loss_function", "cornernet_focal"),
+            _GEN_A_HEATMAP_LOSSES, "heatmap"),
         "heatmap_loss_weight": hm.get("loss_weight", 1.0),
         "heatmap_target": hm.get("target_method", "cornernet"),
-        "box_loss": _GEN_A_BOX_LOSSES.get(box.get("loss_function", "l1"), "L1Loss"),
+        "box_loss": _map_loss_name(box.get("loss_function", "l1"),
+                                   _GEN_A_BOX_LOSSES, "box"),
         "box_loss_weight": box.get("loss_weight", 0.1),
         "box_init_bias": box.get("init_bias"),
     }

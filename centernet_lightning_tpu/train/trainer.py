@@ -74,24 +74,40 @@ class Trainer:
         self.log_every = log_every
         self.tracker_config = tracker_config or {}
 
-        # data-axis size must divide the global batch; clamp to the largest
-        # divisor of the train batch size (all devices when it divides)
+        # data-axis size must divide the GLOBAL batch (per-process loader
+        # batch x process count); clamp to the largest divisor. In multihost
+        # the mesh must keep every process's devices — dropping devices
+        # would strand peers' collectives — so there we require
+        # divisibility instead of clamping.
         n_dev = len(jax.devices())
         batch_size = getattr(train_loader, "batch_size", None)
-        if batch_size:
+        global_batch = (batch_size or 0) * jax.process_count()
+        if jax.process_count() > 1:
+            if global_batch and global_batch % n_dev != 0:
+                raise ValueError(
+                    f"multihost: global batch {global_batch} "
+                    f"({batch_size}/process x {jax.process_count()}) must be "
+                    f"divisible by the {n_dev} global devices")
             n_data = n_dev
-            while n_data > 1 and batch_size % n_data != 0:
+        elif global_batch:
+            n_data = n_dev
+            while n_data > 1 and global_batch % n_data != 0:
                 n_data -= 1
         else:
             n_data = n_dev
         self.mesh = create_mesh(n_data=n_data, n_model=1,
                                 devices=jax.devices()[:n_data])
         lc = dict(logger_config or {})
-        self.logger = MetricLogger(
-            log_dir, backends=tuple(lc.get("backends", ("tensorboard",))),
-            project=lc.get("project"), run_name=lc.get("run_name"),
-            config=task.hparams,
-        )
+        # one metric writer per JOB: non-zero processes get a no-op logger
+        # (rank-0 gating like the reference's prints, meta.py:109)
+        if jax.process_index() == 0:
+            self.logger = MetricLogger(
+                log_dir, backends=tuple(lc.get("backends", ("tensorboard",))),
+                project=lc.get("project"), run_name=lc.get("run_name"),
+                config=task.hparams,
+            )
+        else:
+            self.logger = MetricLogger(None, backends=())
 
         opt_cfg = dict(optimizer_config or task.optimizer_config or {})
         opt_cfg.pop("jit", None)  # always jitted here
@@ -271,16 +287,21 @@ class Trainer:
                 pass
         return previous
 
-    def _should_stop(self) -> bool:
+    _STOP_SYNC_EVERY = 10
+
+    def _should_stop(self, step: int) -> bool:
         """Cross-host agreement on the preemption flag: in multihost runs
         the signal may reach only some hosts (or at different steps); acting
         on a local flag would leave the other hosts blocked in the next
-        step's collectives. Any host's flag stops all of them at the SAME
-        step boundary."""
-        if not self._stop_requested and jax.process_count() == 1:
-            return False
+        step's collectives. The flag is gathered at fixed sync points
+        (every _STOP_SYNC_EVERY steps — a per-step host gather would add a
+        cross-host barrier to every iteration) so all hosts stop at the
+        SAME step boundary, at most _STOP_SYNC_EVERY steps after the
+        signal."""
         if jax.process_count() == 1:
             return self._stop_requested
+        if step % self._STOP_SYNC_EVERY != 0:
+            return False
         from ..parallel.mesh import all_gather_host
 
         flags = np.asarray(all_gather_host(
@@ -318,6 +339,12 @@ class Trainer:
 
     def _fit_loop(self):
         first_batch_logged = not self.diagnostics
+        # host-side mirror of state.step: reading int(self.state.step) every
+        # iteration would block on the async-dispatched device step and
+        # serialize host data loading with device compute; the device value
+        # is exactly start + iterations, so mirror it and only sync at
+        # logging boundaries (where losses are fetched anyway)
+        step = int(self.state.step)
         for epoch in range(self.start_epoch, self.max_epochs):
             t0 = time.time()
             n_imgs = 0
@@ -328,15 +355,15 @@ class Trainer:
                 sharded = self._shard(batch)
                 n_imgs += batch["image"].shape[0]
                 self.state, losses = self.train_step(self.state, sharded)
-                if self._should_stop():
+                step += 1
+                if self._should_stop(step):
                     self._stop_profile()
                     self._save(epoch)  # resume restarts this epoch
                     wait_for_saves()
                     if jax.process_index() == 0:
-                        print(f"preempted at step {int(self.state.step)}: "
+                        print(f"preempted at step {step}: "
                               f"checkpoint written, exiting cleanly")
                     return self.state
-                step = int(self.state.step)
                 if step % self.log_every == 0:
                     metrics = {f"train/{k}_loss": float(v) for k, v in losses.items()}
                     metrics["train/images_per_sec"] = n_imgs / (time.time() - t0)
@@ -406,6 +433,19 @@ class Trainer:
         evaluator = CocoEvaluator(self.task.num_classes)
         logged = not self.diagnostics
 
+        def to_host(dets_dev):
+            if jax.process_count() == 1:
+                return jax.device_get(dets_dev)
+            # the eval output is a GLOBAL array spanning non-addressable
+            # devices; take this process's local slice (aligned with its
+            # own loader's batch) before fetching
+            from jax.experimental import multihost_utils
+            from jax.sharding import PartitionSpec as P
+
+            return jax.device_get(
+                multihost_utils.global_array_to_host_local_array(
+                    dets_dev, self.mesh, P("data")))
+
         def forwarded():
             for batch in self.val_loader:
                 yield batch, self.eval_step(self.state, self._shard(batch))
@@ -415,7 +455,7 @@ class Trainer:
         while pending is not None:
             batch, dets_dev = pending
             pending = next(it, None)  # dispatch next before the D2H sync
-            dets = jax.device_get(dets_dev)
+            dets = to_host(dets_dev)
             if not logged and jax.process_index() == 0:
                 self._log_prediction_diagnostic(batch, dets, int(self.state.step))
                 logged = True
@@ -441,10 +481,15 @@ class Trainer:
             pred_schema = {"boxes": ((4,), np.float64),
                            "scores": ((), np.float64),
                            "labels": ((), np.int64)}
+            # the schema must be IDENTICAL on every process (it shapes the
+            # collective); iscrowd is always present, zero-filled where the
+            # dataset provided none (0 == not-crowd, the semantic default)
             tgt_schema = {"boxes": ((4,), np.float64),
-                          "labels": ((), np.int64)}
-            if evaluator.targets and "iscrowd" in evaluator.targets[0]:
-                tgt_schema["iscrowd"] = ((), np.int64)
+                          "labels": ((), np.int64),
+                          "iscrowd": ((), np.int64)}
+            for t in evaluator.targets:
+                t.setdefault("iscrowd",
+                             np.zeros(len(t["labels"]), np.int64))
             evaluator.preds = gather_object_lists(evaluator.preds, pred_schema)
             evaluator.targets = gather_object_lists(evaluator.targets, tgt_schema)
         return {f"val/{k}": v for k, v in evaluator.get_metrics().items()}
@@ -454,6 +499,15 @@ class Trainer:
         reference eval/mot_challenge.py:9-83 + fairmot.py:87-136), metrics
         combined TrackEval-style across sequences."""
         from ..eval.mot import evaluate_mot_tracking_sequences
+
+        if jax.process_count() > 1:
+            # association is sequential per sequence; frames sharded across
+            # processes would interleave mid-sequence and corrupt IDs.
+            # Evaluate tracking single-process (the reference does too —
+            # its MOT eval never ran under DDP).
+            raise NotImplementedError(
+                "tracking validation is single-process: run it on one host "
+                "(detection validation supports multihost)")
 
         tracker = Tracker(model=None, **self.tracker_config)
         per_seq: Dict[int, Dict[str, list]] = {}
