@@ -10,7 +10,6 @@ fori_loop carrying the train state, slope between two loop sizes).
 """
 import json
 import os
-import time
 from functools import partial
 
 import jax
@@ -69,18 +68,10 @@ def main():
 
         return jax.lax.fori_loop(0, n, body, (state, jnp.float32(0)))
 
+    from bench import timed_loop  # single home of the slope methodology
+
     small, big = (2, 7) if on_tpu else (1, 2)
-    float(loop(state, batch, small)[1])
-    float(loop(state, batch, big)[1])
-
-    def run(n):
-        t0 = time.perf_counter()
-        float(loop(state, batch, n)[1])
-        return time.perf_counter() - t0
-
-    a = min(run(small) for _ in range(3))
-    b = min(run(big) for _ in range(3))
-    spi = max(b - a, 1e-9) / (big - small)
+    spi = timed_loop(lambda n: loop(state, batch, n)[1], small, big)
 
     print(json.dumps({
         "metric": "train_images_per_sec resnet34-fpn256@512x512 full step",

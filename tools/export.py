@@ -22,20 +22,18 @@ import jax.numpy as jnp
 
 def make_serving_fn(predictor, batch_size: int, height: int, width: int,
                     raw_uint8: bool = True):
-    """(images) -> {boxes, scores, labels} closed over the weights."""
+    """(images) -> {boxes, scores, labels [, embeddings]} closed over the
+    weights — EXACTLY the predictor's own jitted serving program
+    (CenterNetPredictor._decode_fn: compute_dtype honored, logits-domain
+    decode, f32 head casts), so the deployed artifact matches in-process
+    inference bit-for-bit instead of a re-derived approximation."""
     task = predictor.task
+    fn = predictor._decode_fn(task.num_detections, task.nms_kernel,
+                              False, raw_uint8)
     variables = predictor.variables
 
     def serve(images):
-        if raw_uint8:
-            from centernet_lightning_tpu.ops.preprocess import preprocess
-
-            images = preprocess(images, mean=predictor.mean, std=predictor.std)
-        out = task.model.apply(variables, images, train=False)
-        return task.decode_detections(
-            jax.nn.sigmoid(out["heatmap"]), out["box_2d"],
-            reid=out.get("reid"),
-        )
+        return fn(variables, images)
 
     dtype = jnp.uint8 if raw_uint8 else jnp.float32
     example = jnp.zeros((batch_size, height, width, 3), dtype)
@@ -62,18 +60,16 @@ def export_savedmodel(predictor, output: str, batch_size: int = 1,
     import tensorflow as tf
     from orbax.export import ExportManager, JaxModule, ServingConfig
 
-    task = predictor.task
+    serve, _ = make_serving_fn(predictor, batch_size, height, width)
 
     def model_fn(params, images):
-        variables = {"params": params,
-                     "batch_stats": predictor.variables.get("batch_stats", {})}
-        from centernet_lightning_tpu.ops.preprocess import preprocess
-
-        images = preprocess(images, mean=predictor.mean, std=predictor.std)
-        out = task.model.apply(variables, images, train=False)
-        return task.decode_detections(
-            jax.nn.sigmoid(out["heatmap"]), out["box_2d"]
-        )
+        # orbax-export passes the param leaf tree; the serving fn closes
+        # over the predictor's full variables (params + batch_stats), which
+        # are the same arrays — params is accepted for the JaxModule
+        # signature. Same program as the stablehlo export (incl. ReID
+        # embeddings for tracking models).
+        del params
+        return serve(images)
 
     module = JaxModule(predictor.variables["params"], model_fn)
     manager = ExportManager(module, [ServingConfig(

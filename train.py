@@ -88,7 +88,7 @@ def main():
         ckpt_dir=os.path.join(args.workdir, "checkpoints"),
         log_dir=os.path.join(args.workdir, "logs"),
         monitor=monitor,
-        val_interval=int(trainer_cfg.get("check_val_every_n_epoch", 1)),
+        val_interval=_val_interval(trainer_cfg),
         image_size=image_size,
         resume=not args.no_resume,
         profile=args.profile,
@@ -101,22 +101,46 @@ def main():
     trainer.fit()
 
 
+def _val_interval(trainer_cfg) -> int:
+    """Lightning's two validation-cadence knobs -> whole epochs.
+    check_val_every_n_epoch maps directly; val_check_interval (fraction of
+    an epoch, used by the reference Gen-A configs) can't go sub-epoch in
+    this trainer, so any value <= 1 becomes every epoch — with a printed
+    note rather than silent ignoring."""
+    if "check_val_every_n_epoch" in trainer_cfg:
+        return int(trainer_cfg["check_val_every_n_epoch"])
+    vci = trainer_cfg.get("val_check_interval")
+    if vci is None:
+        return 1
+    if vci != 1:
+        print(f"val_check_interval={vci} -> validating every epoch (this "
+              f"trainer validates on epoch boundaries; use "
+              f"check_val_every_n_epoch for a multi-epoch cadence)")
+    return 1
+
+
 def _parse_logger_config(logger_cfg):
-    """Reference logger selection (configs/centernet.yaml:95-99):
-    {class_path|name: WandbLogger|TensorBoardLogger, init_args: {...}}
-    (or just a string) -> MetricLogger backend config."""
+    """Reference logger selection (configs/centernet.yaml:95-99). Accepts
+    every Lightning shape: a string, a {class_path|name, init_args|params}
+    dict, or a LIST of those (the reference's own configs use the list
+    form) -> MetricLogger backend config (backends unioned)."""
     if not logger_cfg:
         return None
-    if isinstance(logger_cfg, str):
-        name, init = logger_cfg, {}
-    else:
-        name = str(logger_cfg.get("class_path")
-                   or logger_cfg.get("name") or "tensorboard")
-        init = logger_cfg.get("init_args") or {}
-    backends = ["wandb"] if "wandb" in name.lower() else ["tensorboard"]
-    return {"backends": backends,
-            "project": init.get("project"),
-            "run_name": init.get("name")}
+    entries = logger_cfg if isinstance(logger_cfg, list) else [logger_cfg]
+    backends, project, run_name = [], None, None
+    for entry in entries:
+        if isinstance(entry, str):
+            name, init = entry, {}
+        else:
+            name = str(entry.get("class_path")
+                       or entry.get("name") or "tensorboard")
+            init = entry.get("init_args") or entry.get("params") or {}
+        backend = "wandb" if "wandb" in name.lower() else "tensorboard"
+        if backend not in backends:
+            backends.append(backend)
+        project = project or init.get("project")
+        run_name = run_name or init.get("name")
+    return {"backends": backends, "project": project, "run_name": run_name}
 
 
 if __name__ == "__main__":
