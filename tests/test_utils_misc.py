@@ -132,3 +132,32 @@ def test_parse_logger_config():
     assert cfg == {"backends": ["wandb"], "project": "centernet",
                    "run_name": "run1"}
     assert _parse_logger_config("TensorBoardLogger")["backends"] == ["tensorboard"]
+
+
+def test_parse_logger_config_lightning_shapes():
+    """train.py must accept every reference logger shape: string, dict with
+    init_args, dict with params (Gen-A), and the LIST form the reference's
+    own configs use (configs/centernet.yaml:95-99)."""
+    import train as train_cli
+
+    p = train_cli._parse_logger_config
+    assert p(None) is None
+    assert p("WandbLogger")["backends"] == ["wandb"]
+    assert p({"class_path": "pytorch_lightning.loggers.TensorBoardLogger"}
+             )["backends"] == ["tensorboard"]
+    out = p({"name": "WandbLogger", "params": {"project": "mot", "name": "r1"}})
+    assert out == {"backends": ["wandb"], "project": "mot", "run_name": "r1"}
+    out = p([{"class_path": "WandbLogger", "init_args": {"project": "coco"}},
+             "TensorBoardLogger"])
+    assert out["backends"] == ["wandb", "tensorboard"]
+    assert out["project"] == "coco"
+
+
+def test_val_interval_mapping(capsys):
+    import train as train_cli
+
+    v = train_cli._val_interval
+    assert v({}) == 1
+    assert v({"check_val_every_n_epoch": 3}) == 3
+    assert v({"val_check_interval": 0.5}) == 1  # sub-epoch -> every epoch
+    assert "val_check_interval" in capsys.readouterr().out
