@@ -60,6 +60,7 @@ def test_validate_cli_end_to_end(synthetic_coco, tmp_path):
         [sys.executable, os.path.join(repo, "tools", "validate.py"),
          "--checkpoint", ckpt_dir, "--img-dir", img_dir, "--ann-json", ann,
          "--batch-size", "2", "--image-size", "64", "--num-detections", "5",
+         "--save-results", str(tmp_path / "results.json"),
          "--platform", "cpu"],
         capture_output=True, text=True, timeout=600, cwd=repo,
     )
@@ -71,3 +72,7 @@ def test_validate_cli_end_to_end(synthetic_coco, tmp_path):
     }
     # untrained model: metrics must be valid numbers in [-1, 1]
     assert all(-1.0 <= v <= 1.0 for v in metrics.values())
+    results = json.loads((tmp_path / "results.json").read_text())
+    assert isinstance(results, list)
+    assert all({"image_id", "category_id", "bbox", "score"} <= set(r)
+               for r in results)

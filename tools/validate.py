@@ -26,6 +26,9 @@ def main():
     parser.add_argument("--batch-size", type=int, default=16)
     parser.add_argument("--image-size", type=int, default=512)
     parser.add_argument("--num-detections", type=int, default=100)
+    parser.add_argument("--save-results", default=None,
+                        help="also write a COCO results-format json of the "
+                             "predictions (reference eval/utils.py:83)")
     parser.add_argument("--platform", default=None,
                         help="force a jax platform (e.g. cpu); the "
                              "JAX_PLATFORMS env var is unreliable with "
@@ -61,6 +64,7 @@ def main():
                               num_workers=4, max_boxes=128, drop_last=False)
 
     evaluator = CocoEvaluator(predictor.task.num_classes)
+    all_image_ids = []
     for batch in loader:
         dets = predictor.gather_detection2d(
             jnp.asarray(batch["image"]), num_detections=args.num_detections
@@ -78,6 +82,21 @@ def main():
                 entry["iscrowd"] = batch["iscrowd"][i][m]
             targets.append(entry)
         evaluator.update(preds, targets)
+        if "image_id" in batch:
+            ids = np.asarray(batch["image_id"]).reshape(-1)[:n]
+        else:  # globally increasing fallback
+            ids = np.arange(len(all_image_ids), len(all_image_ids) + n)
+        all_image_ids.extend(ids.tolist())
+
+    if args.save_results:
+        from centernet_lightning_tpu.eval.utils import (
+            detections_to_coco_results,
+        )
+
+        detections_to_coco_results(all_image_ids, evaluator.preds,
+                                   save_path=args.save_results)
+        print(f"wrote COCO results json -> {args.save_results}",
+              file=sys.stderr)
 
     metrics = evaluator.get_metrics()
     print(json.dumps({k: round(float(v), 4) for k, v in metrics.items()}))
