@@ -66,6 +66,11 @@ class CenterNet:
     nms_kernel: int = 3
     num_detections: int = 100
 
+    # training/serving resolution (H, W) — recorded in hparams so a
+    # checkpoint rebuilds a predictor at the resolution it was trained at
+    # (InferenceDataset resizes to this; stride-32 divisible)
+    image_size: Any = (512, 512)
+
     # data + optimizer passthrough (consumed by the trainer/CLI layers)
     train_data: Optional[Dict[str, Any]] = None
     val_data: Optional[Dict[str, Any]] = None
@@ -79,6 +84,7 @@ class CenterNet:
     extra_block: Optional[Dict[str, Any]] = None
 
     def __post_init__(self):
+        self.image_size = tuple(self.image_size)
         self.model, self.stride = create_model(
             num_classes=self.num_classes,
             backbone=self.backbone,

@@ -68,6 +68,10 @@ class Trainer:
         self.monitor_mode = monitor_mode
         self.val_interval = val_interval
         self.image_size = tuple(image_size)
+        if hasattr(task, "image_size"):
+            # keep hparams truthful: checkpoints record the resolution the
+            # trainer actually ran at, so build_centernet(ckpt) serves it
+            task.image_size = self.image_size
         self.seed = seed
         self.resume = resume
         self.profile = profile

@@ -144,3 +144,29 @@ def test_gather_detection2d_from_encoded_outputs():
     direct = model.gather_detection2d(imgs)
     np.testing.assert_allclose(dets["scores"], direct["scores"], rtol=1e-5)
     np.testing.assert_array_equal(dets["labels"], direct["labels"])
+
+
+def test_checkpoint_records_training_resolution(tmp_path):
+    """Regression: image_size is a task hparam, so build_centernet(ckpt)
+    serves at the TRAINED resolution instead of the 512 default (a 96-px
+    model silently evaluated at 512 scores near zero)."""
+    import jax
+
+    from centernet_lightning_tpu.api import build_centernet
+    from centernet_lightning_tpu.models.centernet import CenterNet
+    from centernet_lightning_tpu.train.checkpoint import save_checkpoint
+
+    task = CenterNet(num_classes=1, backbone="resnet18", neck="FPN",
+                     neck_config={"out_channels": 8},
+                     head_config={"width": 8, "depth": 1},
+                     num_detections=4, image_size=(96, 96))
+    assert task.hparams["image_size"] == (96, 96)
+    variables = task.init(jax.random.PRNGKey(0), image_size=(96, 96))
+    ckpt = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt, {"params": jax.device_get(variables["params"]),
+                           "batch_stats": jax.device_get(
+                               variables.get("batch_stats", {})),
+                           "step": 0},
+                    hparams=task.hparams, step=0)
+    predictor = build_centernet(ckpt)
+    assert predictor.image_size == (96, 96)
