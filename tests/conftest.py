@@ -7,11 +7,12 @@ sharding tests run without TPU hardware via
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # the env may preset a TPU platform; force CPU
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# FORCE 8 virtual devices, overriding any pre-existing count (a dev shell
+# with =1 would otherwise fail every mesh test with a confusing message)
+_flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
+          if "xla_force_host_platform_device_count" not in f]
+_flags.append("--xla_force_host_platform_device_count=8")
+os.environ["XLA_FLAGS"] = " ".join(_flags)
 
 import jax
 

@@ -62,9 +62,8 @@ def test_iou_threshold_sweep():
     e = ev()
     gt = {"boxes": np.array([[0, 0, 10, 10]], float), "labels": np.array([0])}
     # box [0,0,6,10] vs [0,0,10,10]: inter 60, union 100 -> IoU 0.6
-    pred = {"boxes": np.array([[0, 0, 6, 10]], float) * np.array([1, 1, 1, 1.0]),
+    pred = {"boxes": np.array([[0, 0, 6, 10]], float),
             "scores": np.array([0.9]), "labels": np.array([0])}
-    pred["boxes"] = np.array([[0, 0, 6, 10]], float)
     iou = box_iou_xywh(pred["boxes"], gt["boxes"])[0, 0]
     assert iou == pytest.approx(0.6)
     e.update([pred], [gt])

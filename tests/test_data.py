@@ -324,14 +324,19 @@ def test_loader_early_break_unblocks_producer():
 
     loader = DataLoader(Slow(), batch_size=2, num_workers=2, prefetch=1,
                         collate_fn=lambda items: items)
-    before = threading.active_count()
+    # snapshot the EXACT thread set: a global active_count() baseline can
+    # be inflated by prior tests' winding-down threads, masking a leak
+    before = set(threading.enumerate())
     it = iter(loader)
     next(it)
     it.close()  # the consumer walks away
     deadline = time.time() + 5
-    while threading.active_count() > before and time.time() < deadline:
+    def leaked():
+        return [t for t in threading.enumerate()
+                if t not in before and t.is_alive()]
+    while leaked() and time.time() < deadline:
         time.sleep(0.05)
-    assert threading.active_count() <= before, "producer thread leaked"
+    assert not leaked(), f"loader threads leaked: {leaked()}"
 
 
 def test_affine_translate_moves_boxes_exactly():

@@ -47,8 +47,8 @@ def test_dcn_v1_no_mask(key, rng):
     x = jnp.asarray(rng.normal(size=(1, 6, 6, 3)).astype(np.float32))
     block = DeformableConvBlock(out_channels=5, version=1)
     variables = block.init(key, x, train=False)
-    # v1 has no mask conv
-    assert not any("Conv_1" == k for k in ())  # structural sanity below
+    # v1 has no mask conv: only the offset conv (Conv_0) exists
+    assert "Conv_1" not in variables["params"]
     y = block.apply(variables, x, train=False)
     assert y.shape == (1, 6, 6, 5)
 

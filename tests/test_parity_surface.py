@@ -74,10 +74,14 @@ def test_task_get_dataloader(tmp_path):
 
 def test_all_reference_config_files_load():
     import glob
+    import os
 
     from centernet_lightning_tpu.train.config import load_config, normalize_config
 
-    for path in glob.glob("configs/*.yaml"):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = sorted(glob.glob(os.path.join(repo, "configs", "*.yaml")))
+    assert paths, "no configs found — wrong cwd anchor?"
+    for path in paths:
         cfg = normalize_config(load_config(path))
         assert "model" in cfg, path
         assert "num_classes" in cfg["model"], path

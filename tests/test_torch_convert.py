@@ -59,16 +59,20 @@ class TorchResNet18(nn.Module):
         return feats
 
 
-def test_resnet18_conversion_parity(rng):
-    tm = TorchResNet18().eval()
-    # randomize BN running stats so eval-mode parity is a real test
+def _randomize_bn(model):
     with torch.no_grad():
-        for m in tm.modules():
+        for m in model.modules():
             if isinstance(m, nn.BatchNorm2d):
                 m.running_mean.normal_(0, 0.5)
                 m.running_var.uniform_(0.5, 2.0)
                 m.weight.normal_(1, 0.2)
                 m.bias.normal_(0, 0.2)
+
+
+def test_resnet18_conversion_parity(rng):
+    tm = TorchResNet18().eval()
+    # randomize BN running stats so eval-mode parity is a real test
+    _randomize_bn(tm)
 
     params, stats = convert_resnet_state_dict(
         tm.state_dict(), stage_sizes=(2, 2, 2, 2), bottleneck=False
@@ -168,16 +172,6 @@ class TorchMiniCenterNet(nn.Module):
         feats = self.backbone(x)
         out = self.neck(feats)
         return {name: head(out) for name, head in self.heads.items()}
-
-
-def _randomize_bn(model):
-    with torch.no_grad():
-        for m in model.modules():
-            if isinstance(m, nn.BatchNorm2d):
-                m.running_mean.normal_(0, 0.5)
-                m.running_var.uniform_(0.5, 2.0)
-                m.weight.normal_(1, 0.2)
-                m.bias.normal_(0, 0.2)
 
 
 def _make_tasks_and_torch(num_classes=5, width=32):

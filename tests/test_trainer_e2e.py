@@ -80,7 +80,8 @@ def test_trainer_overfits_synthetic_coco(synthetic_coco, tmp_path):
     # 40 epochs x 2 steps on 8 trivial images: must find the rectangles
     assert metrics["val/AP50"] > 0.5, metrics
     # checkpoint was written and metrics logged
-    assert (tmp_path / "ckpt").exists()
+    from centernet_lightning_tpu.train.checkpoint import latest_checkpoint
+    assert latest_checkpoint(str(tmp_path / "ckpt")) is not None
     assert (tmp_path / "logs" / "metrics.jsonl").exists()
 
 

@@ -1,7 +1,13 @@
 """Viz utilities, ReID losses, eval converters, preprocess."""
+import os
+import sys
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
+
+# the train CLI lives at the repo root, not on the pytest import path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from centernet_lightning_tpu.ops.losses import (
     reid_cross_entropy_loss,
@@ -121,8 +127,6 @@ def test_metric_logger_histogram_and_boxes(tmp_path):
 
 
 def test_parse_logger_config():
-    import sys
-    sys.path.insert(0, "/root/repo")
     from train import _parse_logger_config
 
     assert _parse_logger_config(None) is None
