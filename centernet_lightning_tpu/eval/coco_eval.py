@@ -69,15 +69,21 @@ def _greedy_match_numpy(ious: np.ndarray, iou_thrs: np.ndarray,
     """Greedy matching, vectorized over GTs per det. pycocotools semantics:
     dets in score order each take the highest-IoU unmatched GT >= thr,
     preferring ANY real GT over ignored ones (gts sorted real-first,
-    iteration breaks before ignored once a real match exists); argmax
-    first-occurrence reproduces the strict-> tie-break. Crowd GTs are
-    never marked taken — any number of dets may ignore-match one.
+    iteration breaks before ignored once a real match exists). Exact-IoU
+    ties break to the LAST tied GT — pycocotools' inner loop updates on
+    `ious >= best` (cocoeval.evaluateImg), so the last occurrence wins.
+    Crowd GTs are never marked taken — any number of dets may ignore-match
+    one.
 
     Returns dtm (T, D): matched gt index + 1; 0 = unmatched."""
     D, G = ious.shape
     T = len(iou_thrs)
     dtm = np.zeros((T, D), np.int64)
     gt_real = ~gt_ig
+
+    def _last_argmax(vals):
+        return G - 1 - int(np.argmax(vals[::-1]))
+
     for t, thr in enumerate(iou_thrs):
         thr_eff = min(thr, 1 - 1e-10)
         taken = np.zeros(G, bool)
@@ -86,9 +92,9 @@ def _greedy_match_numpy(ious: np.ndarray, iou_thrs: np.ndarray,
             ok = (~taken | gt_crowd) & (row >= thr_eff)
             real = ok & gt_real
             if real.any():
-                m = int(np.argmax(np.where(real, row, -1.0)))
+                m = _last_argmax(np.where(real, row, -1.0))
             elif ok.any():
-                m = int(np.argmax(np.where(ok, row, -1.0)))
+                m = _last_argmax(np.where(ok, row, -1.0))
             else:
                 continue
             dtm[t, dind] = m + 1

@@ -310,14 +310,13 @@ _DISTRACTOR_CLASSES = (2.0, 7.0, 8.0, 12.0)
 
 
 def _parse_mot_txt(path: str, gt: bool = False):
-    """MOT-Challenge txt -> ({frame: (xywh boxes, ids)}, {frame: distractor
-    boxes}). Scoring GT rows keep 'consider' flag 1 and pedestrian class
-    1/-1 (MOT gt.txt columns); rows of the distractor classes are returned
-    separately so tracker detections matched to them can be removed before
-    scoring (TrackEval MotChallenge2DBox preproc). For tracker files
-    (gt=False) the distractor dict is empty."""
+    """MOT-Challenge txt -> per-frame arrays. For tracker files:
+    {frame: (xywh boxes, ids)}. For GT files every row is kept (all
+    classes, zero-marked included) as {frame: (boxes, ids, classes,
+    consider)} — TrackEval's MotChallenge2DBox preprocessing needs the
+    full GT set for the joint distractor assignment; scoring filters to
+    considered pedestrian rows afterwards (`_preprocess_frame`)."""
     frames: Dict[int, list] = {}
-    distractors: Dict[int, list] = {}
     if os.path.exists(path):
         with open(path) as f:
             for line in f:
@@ -327,35 +326,47 @@ def _parse_mot_txt(path: str, gt: bool = False):
                 frame, tid = int(float(parts[0])), int(float(parts[1]))
                 box = [float(v) for v in parts[2:6]]
                 if gt:
+                    consider = float(parts[6]) if len(parts) > 6 else 1.0
                     cls = float(parts[7]) if len(parts) > 7 else 1.0
-                    if cls in _DISTRACTOR_CLASSES:
-                        distractors.setdefault(frame, []).append(box)
-                        continue
-                    if len(parts) > 6 and float(parts[6]) == 0:
-                        continue  # zero-marked: not scored, not a distractor
-                    if cls not in (1.0, -1.0):
-                        continue  # other non-pedestrian class
-                frames.setdefault(frame, []).append((box, tid))
+                    frames.setdefault(frame, []).append(
+                        (box, tid, cls, consider))
+                else:
+                    frames.setdefault(frame, []).append((box, tid))
     out = {}
     for frame, rows in frames.items():
-        out[frame] = (np.asarray([r[0] for r in rows], np.float64),
-                      np.asarray([r[1] for r in rows], np.int64))
-    return out, {f: np.asarray(b, np.float64) for f, b in distractors.items()}
+        boxes = np.asarray([r[0] for r in rows], np.float64)
+        ids = np.asarray([r[1] for r in rows], np.int64)
+        if gt:
+            out[frame] = (boxes, ids,
+                          np.asarray([r[2] for r in rows], np.float64),
+                          np.asarray([r[3] for r in rows], np.float64))
+        else:
+            out[frame] = (boxes, ids)
+    return out
 
 
-def _remove_distractor_matches(pred_boxes, pred_ids, distractor_boxes,
-                               iou_threshold: float = 0.5):
-    """Drop tracker detections whose best Hungarian match against a
-    distractor GT has IoU >= threshold (TrackEval MotChallenge2DBox
-    preprocessing: trackers are not penalized for following static people,
-    reflections, etc.)."""
-    if len(pred_boxes) == 0 or len(distractor_boxes) == 0:
-        return pred_boxes, pred_ids
-    sim = box_iou_xywh(pred_boxes, distractor_boxes)
-    rows, cols = linear_sum_assignment(-sim)
-    drop = rows[sim[rows, cols] >= iou_threshold - _EPS]
-    keep = np.setdiff1d(np.arange(len(pred_boxes)), drop)
-    return pred_boxes[keep], pred_ids[keep]
+def _preprocess_frame(gt_boxes, gt_ids, gt_classes, gt_consider,
+                      pred_boxes, pred_ids, iou_threshold: float = 0.5):
+    """TrackEval MotChallenge2DBox per-frame preprocessing: ONE joint
+    Hungarian assignment of tracker dets against ALL GT rows (every class,
+    zero-marked included; scores below the IoU threshold zeroed), then
+    remove only the tracker dets whose ASSIGNED GT row is a distractor
+    class — a det overlapping both a pedestrian and a distractor stays if
+    the assignment prefers the pedestrian. The GT scoring set is then
+    filtered to considered pedestrian rows (class 1/-1, consider != 0).
+
+    Returns (gt_boxes, gt_ids, pred_boxes, pred_ids) ready for scoring."""
+    if len(pred_boxes) and len(gt_boxes):
+        sim = box_iou_xywh(gt_boxes, pred_boxes)
+        scores = np.where(sim < iou_threshold - _EPS, 0.0, sim)
+        rows, cols = linear_sum_assignment(-scores)
+        matched = scores[rows, cols] > _EPS
+        rows, cols = rows[matched], cols[matched]
+        drop = cols[np.isin(gt_classes[rows], _DISTRACTOR_CLASSES)]
+        keep = np.setdiff1d(np.arange(len(pred_boxes)), drop)
+        pred_boxes, pred_ids = pred_boxes[keep], pred_ids[keep]
+    score_mask = (gt_consider != 0) & np.isin(gt_classes, (1.0, -1.0))
+    return gt_boxes[score_mask], gt_ids[score_mask], pred_boxes, pred_ids
 
 
 def evaluate_mot_tracking_from_file(
@@ -365,10 +376,11 @@ def evaluate_mot_tracking_from_file(
     """Evaluate MOT-format result FILES against a MOT-Challenge GT tree —
     the reference's TrackEval bridge (eval/mot_challenge.py:87-138),
     implemented directly (no temp-config TrackEval run). Applies TrackEval's
-    MotChallenge2DBox preprocessing: tracker detections Hungarian-matched
-    (IoU >= 0.5) to distractor-class GT rows (person-on-vehicle, static
-    person, distractor, reflection) are removed before scoring; zero-marked
-    pedestrian GT rows are excluded from the scoring set.
+    MotChallenge2DBox preprocessing: one joint Hungarian assignment per
+    frame of tracker detections against ALL GT rows (IoU >= 0.5), removing
+    only detections assigned to a distractor-class row (person-on-vehicle,
+    static person, distractor, reflection) before scoring; zero-marked and
+    non-pedestrian GT rows are excluded from the scoring set.
 
     Layout: `<gt_folder>/<seq>/gt/gt.txt` (+ seqinfo.ini), tracker results
     at `<trackers_folder>/<tracker>/<seq>.txt`. Sequences come from
@@ -397,26 +409,24 @@ def evaluate_mot_tracking_from_file(
     for tracker in trackers:
         per_seq = {}
         for seq in seqs:
-            gt_frames, gt_distractors = _parse_mot_txt(
+            gt_frames = _parse_mot_txt(
                 os.path.join(gt_folder, seq, "gt", "gt.txt"), gt=True)
-            pr_frames, _ = _parse_mot_txt(
+            pr_frames = _parse_mot_txt(
                 os.path.join(trackers_folder, tracker, f"{seq}.txt"))
             last = max(list(gt_frames) + list(pr_frames) + [0])
+            empty_gt = (np.zeros((0, 4)), np.zeros(0, np.int64),
+                        np.zeros(0), np.zeros(0))
             empty = (np.zeros((0, 4)), np.zeros(0, np.int64))
-            no_boxes = np.zeros((0, 4))
-            preds = [
-                _remove_distractor_matches(
-                    *pr_frames.get(f, empty),
-                    gt_distractors.get(f, no_boxes))
+            processed = [
+                _preprocess_frame(*gt_frames.get(f, empty_gt),
+                                  *pr_frames.get(f, empty))
                 for f in range(1, last + 1)
             ]
             per_seq[seq] = {
-                "target_bboxes": [gt_frames.get(f, empty)[0]
-                                  for f in range(1, last + 1)],
-                "target_track_ids": [gt_frames.get(f, empty)[1]
-                                     for f in range(1, last + 1)],
-                "pred_bboxes": [p[0] for p in preds],
-                "pred_track_ids": [p[1] for p in preds],
+                "target_bboxes": [p[0] for p in processed],
+                "target_track_ids": [p[1] for p in processed],
+                "pred_bboxes": [p[2] for p in processed],
+                "pred_track_ids": [p[3] for p in processed],
             }
         results[tracker] = evaluate_mot_tracking_sequences(per_seq)
     if len(results) == 1:

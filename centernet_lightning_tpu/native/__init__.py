@@ -10,9 +10,12 @@ the system g++ into a content-addressed shared object and bound through
 ctypes (no pybind11 required).
 
 If compilation fails (no compiler, sandboxed filesystem), every consumer
-falls back to the equivalent numpy/scipy path — results are identical, the
-native path is purely a speedup. Disable explicitly with
-CENTERNET_TPU_NO_NATIVE=1.
+falls back to the equivalent numpy/scipy path — the native path is purely a
+speedup. COCO matching is bit-identical either way; assignment returns the
+same optimal total cost, but when multiple optima exist (tied costs, common
+with IoU-distance matrices) the C++ solver may pick a different optimal
+pairing than scipy — identical except under such degenerate ties. Disable
+explicitly with CENTERNET_TPU_NO_NATIVE=1.
 """
 from __future__ import annotations
 

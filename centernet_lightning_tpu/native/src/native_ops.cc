@@ -87,8 +87,9 @@ int cl_lap_assign(const double* cost, int n, int m, int* col4row) {
 // Detections arrive score-sorted; for each IoU threshold each detection
 // takes the highest-IoU not-yet-taken GT at/above the threshold, preferring
 // any non-ignored GT over ignored ones; crowd GTs are never marked taken
-// (any number of detections may ignore-match one). First-occurrence argmax
-// tie-break matches the numpy reference path bit-for-bit.
+// (any number of detections may ignore-match one). Exact-IoU ties break to
+// the LAST tied GT — pycocotools' loop updates on `>=` — matching both the
+// numpy reference path and pycocotools bit-for-bit.
 //
 // ious: row-major D*G; thrs: T; gt_ig/gt_crowd: G (0/1);
 // dtm out: row-major T*D, entries = matched GT index + 1, 0 = unmatched.
@@ -109,11 +110,11 @@ void cl_coco_match(const double* ious, int D, int G, const double* thrs,
         if (taken[g] && !gt_crowd[g]) continue;
         const double iou = row[g];
         if (iou < thr_eff) continue;
-        if (!gt_ig[g] && iou > bv_real) {
+        if (!gt_ig[g] && iou >= bv_real) {
           bv_real = iou;
           best_real = g;
         }
-        if (iou > bv_any) {
+        if (iou >= bv_any) {
           bv_any = iou;
           best_any = g;
         }

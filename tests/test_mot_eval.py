@@ -239,3 +239,35 @@ def test_from_file_distractor_preprocessing(tmp_path):
         str(tmp_path / "gt"), str(tmp_path / "trk"),
         trackers_to_eval="fp")
     assert res2["MOTA"] < 1.0
+
+
+def test_distractor_preproc_joint_assignment(tmp_path):
+    """A detection overlapping BOTH a pedestrian (higher IoU) and a
+    distractor (IoU >= 0.5) must survive preprocessing: TrackEval runs ONE
+    joint assignment over all GT rows and removes only dets assigned to a
+    distractor row — not every det that merely overlaps one (advisor
+    finding r2)."""
+    from centernet_lightning_tpu.eval.mot import (
+        evaluate_mot_tracking_from_file,
+    )
+
+    d = tmp_path / "gt" / "SEQ" / "gt"
+    d.mkdir(parents=True)
+    # pedestrian at (10,10,20,20); static person (class 7) at (14,10,20,20)
+    # -> IoU(ped, distractor) = 320/480 = 0.667 >= 0.5
+    d.joinpath("gt.txt").write_text(
+        "1,1,10,10,20,20,1,1,1\n"
+        "1,5,14,10,20,20,0,7,1\n"
+        "2,1,10,10,20,20,1,1,1\n"
+        "2,5,14,10,20,20,0,7,1\n")
+    trk = tmp_path / "trk" / "t"
+    trk.mkdir(parents=True)
+    # tracker reports exactly the pedestrian box: IoU 1.0 with the ped,
+    # 0.667 with the distractor. Joint assignment gives it the pedestrian.
+    trk.joinpath("SEQ.txt").write_text(
+        "1,1,10,10,20,20,1,-1,-1,-1\n"
+        "2,1,10,10,20,20,1,-1,-1,-1\n")
+    res = evaluate_mot_tracking_from_file(
+        str(tmp_path / "gt"), str(tmp_path / "trk"))
+    assert res["MOTA"] == pytest.approx(1.0)
+    assert res["IDF1"] == pytest.approx(1.0)

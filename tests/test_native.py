@@ -128,3 +128,58 @@ def test_tracker_association_uses_native_and_matches_scipy():
         assert got_cost == pytest.approx(want_cost, abs=1e-9)
         assert sorted(got[1]) == sorted(want[1])  # leftover rows
         assert sorted(got[2]) == sorted(want[2])  # leftover cols
+
+
+def _pycocotools_match_emulation(ious, iou_thrs, gt_ig, gt_crowd):
+    """Literal transcription of pycocotools cocoeval.evaluateImg's matching
+    loop (gts iterated real-first via a stable sort on the ignore flag, `>=`
+    update so the LAST tied GT wins) — the oracle both the numpy and C++
+    matchers must reproduce bit-for-bit."""
+    D, G = ious.shape
+    gtind = np.argsort(gt_ig, kind="mergesort")  # real first, stable
+    dtm = np.zeros((len(iou_thrs), D), np.int64)
+    for t, thr in enumerate(iou_thrs):
+        gtm = np.zeros(G, np.int64)
+        for dind in range(D):
+            iou = min(thr, 1 - 1e-10)
+            m = -1
+            for gind in gtind:
+                if gtm[gind] > 0 and not gt_crowd[gind]:
+                    continue
+                if m > -1 and not gt_ig[m] and gt_ig[gind]:
+                    break
+                if ious[dind, gind] < iou:
+                    continue
+                iou = ious[dind, gind]
+                m = gind
+            if m == -1:
+                continue
+            dtm[t, dind] = m + 1
+            gtm[m] = dind + 1
+    return dtm
+
+
+def test_coco_match_tie_breaking_matches_pycocotools():
+    """Exact-IoU ties must resolve to the LAST tied GT (pycocotools `>=`
+    update order) in both the numpy and the native matcher — fuzzed over
+    tie-heavy quantized IoU matrices with ignore/crowd flags (advisor
+    finding r2)."""
+    from centernet_lightning_tpu import native
+    from centernet_lightning_tpu.eval.coco_eval import _greedy_match_numpy
+
+    rng = np.random.default_rng(7)
+    iou_thrs = np.linspace(0.5, 0.95, 10)
+    for _ in range(300):
+        D = int(rng.integers(1, 8))
+        G = int(rng.integers(1, 8))
+        # quantize to a handful of levels so exact ties are everywhere
+        ious = rng.integers(0, 5, size=(D, G)).astype(np.float64) / 4.0
+        gt_crowd = rng.random(G) < 0.25
+        gt_ig = gt_crowd | (rng.random(G) < 0.25)
+
+        want = _pycocotools_match_emulation(ious, iou_thrs, gt_ig, gt_crowd)
+        got_np = _greedy_match_numpy(ious, iou_thrs, gt_ig, gt_crowd)
+        np.testing.assert_array_equal(got_np, want)
+        if native.available():
+            got_cc = native.coco_match(ious, iou_thrs, gt_ig, gt_crowd)
+            np.testing.assert_array_equal(got_cc, want)
