@@ -30,7 +30,8 @@ def load_coco_annotations(ann_json: str):
 
     images = sorted(data["images"], key=lambda x: x["id"])
     targets: Dict[int, Dict[str, list]] = {
-        img["id"]: {"boxes": [], "labels": [], "iscrowd": []} for img in images
+        img["id"]: {"boxes": [], "labels": [], "iscrowd": [], "area": []}
+        for img in images
     }
     dims = {img["id"]: (img["width"], img["height"]) for img in images}
 
@@ -52,6 +53,12 @@ def load_coco_annotations(ann_json: str):
         targets[img_id]["boxes"].append([x, y, w, h])
         targets[img_id]["labels"].append(label_map[ann["category_id"]])
         targets[img_id]["iscrowd"].append(int(ann.get("iscrowd", 0)))
+        # pycocotools gates GT area ranges on the annotation's own `area`
+        # (the segmentation area — smaller than the box for real masks;
+        # COCOeval.evaluateImg via _prepare's ann['area']). Carry it, box
+        # w*h when absent (the reference's in-memory create_coco does the
+        # same fallback, eval/coco.py:90).
+        targets[img_id]["area"].append(float(ann.get("area", w * h)))
 
     return images, targets, label_map, cat_names
 
@@ -87,6 +94,7 @@ class CocoDetection:
             "bboxes": np.asarray(target["boxes"], np.float32).reshape(-1, 4),
             "labels": np.asarray(target["labels"], np.int64),
             "iscrowd": np.asarray(target["iscrowd"], np.int64),
+            "area": np.asarray(target["area"], np.float32),
             "image_id": info["id"],
         }
         if self.transforms is not None:

@@ -9,6 +9,7 @@ Boxes beyond max_boxes are dropped (COCO p99.9 is < 100 objects/image).
 """
 from __future__ import annotations
 
+import warnings
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -17,10 +18,13 @@ __all__ = ["CollateDetection", "CollateTracking", "collate_detection",
            "collate_tracking", "coco_detection_collate_fn"]
 
 
-def _pad_batch(batch: List[Dict], keys, max_boxes: Optional[int]) -> Dict[str, np.ndarray]:
+def _pad_batch(batch: List[Dict], keys, max_boxes: Optional[int],
+               on_truncate=None) -> Dict[str, np.ndarray]:
     n = len(batch)
     k = max((len(x["labels"]) for x in batch), default=0)
     if max_boxes is not None:
+        if k > max_boxes and on_truncate is not None:
+            on_truncate(k)
         k = max_boxes
     k = max(k, 1)
 
@@ -42,6 +46,11 @@ def _pad_batch(batch: List[Dict], keys, max_boxes: Optional[int]) -> Dict[str, n
     has_crowd = n > 0 and all("iscrowd" in x for x in batch)
     if has_crowd:
         out["iscrowd"] = np.zeros((n, k), np.int32)
+    # annotation area (pycocotools GT area-range source) rides along like
+    # iscrowd: eval-only, zero-padded
+    has_area = n > 0 and all("area" in x for x in batch)
+    if has_area:
+        out["area"] = np.zeros((n, k), np.float32)
 
     for b, item in enumerate(batch):
         m = min(len(item["labels"]), k)
@@ -53,18 +62,46 @@ def _pad_batch(batch: List[Dict], keys, max_boxes: Optional[int]) -> Dict[str, n
                 out["ids"][b, :m] = item["ids"][:m]
             if has_crowd:
                 out["iscrowd"][b, :m] = np.asarray(item["iscrowd"])[:m]
+            if has_area:
+                out["area"][b, :m] = np.asarray(item["area"])[:m]
     return out
+
+
+class _TruncationWarner:
+    """Warn ONCE per collate instance when an image carries more boxes than
+    `max_boxes` — the extra GT is silently dropped from both training
+    targets and eval (the reference passes unpadded target lists,
+    centernet.py:202-212, so it never truncates; our fixed-shape contract
+    does). On crowded datasets (CrowdHuman: 400+ boxes/image) raise
+    `max_boxes` in the data config or eval mAP is biased."""
+
+    def __init__(self):
+        self.truncated_batches = 0
+
+    def __call__(self, owner, seen: int):
+        self.truncated_batches += 1
+        if self.truncated_batches == 1:
+            warnings.warn(
+                f"{type(owner).__name__}: an image has {seen} boxes but "
+                f"max_boxes={owner.max_boxes}; the excess is DROPPED (from "
+                "training targets and eval GT). Raise max_boxes in the "
+                "data config for crowded datasets.",
+                RuntimeWarning, stacklevel=4)
 
 
 class CollateDetection:
     """items {image, bboxes, labels} -> padded {image, boxes, labels, mask}
-    (dataset "bboxes" renamed to batch "boxes" here — the repo convention)."""
+    (dataset "bboxes" renamed to batch "boxes" here — the repo convention).
+    Warns on the first batch that overflows max_boxes; the count of
+    truncated batches is exposed as `truncation.truncated_batches`."""
 
     def __init__(self, max_boxes: Optional[int] = 128):
         self.max_boxes = max_boxes
+        self.truncation = _TruncationWarner()
 
     def __call__(self, batch: List[Dict]) -> Dict[str, np.ndarray]:
-        return _pad_batch(batch, ("bboxes", "labels"), self.max_boxes)
+        return _pad_batch(batch, ("bboxes", "labels"), self.max_boxes,
+                          lambda seen: self.truncation(self, seen))
 
 
 class CollateTracking:
@@ -72,9 +109,11 @@ class CollateTracking:
 
     def __init__(self, max_boxes: Optional[int] = 256):
         self.max_boxes = max_boxes
+        self.truncation = _TruncationWarner()
 
     def __call__(self, batch: List[Dict]) -> Dict[str, np.ndarray]:
-        return _pad_batch(batch, ("bboxes", "labels", "ids"), self.max_boxes)
+        return _pad_batch(batch, ("bboxes", "labels", "ids"), self.max_boxes,
+                          lambda seen: self.truncation(self, seen))
 
 
 collate_detection = CollateDetection()

@@ -40,6 +40,12 @@ def _resize(sample, new_h, new_w, interpolation=cv2.INTER_LINEAR):
     if len(sample.get("bboxes", ())):
         s = np.array([new_w / w, new_h / h, new_w / w, new_h / h], np.float32)
         sample["bboxes"] = sample["bboxes"] * s
+        # annotation areas (segmentation area for COCO) scale with the
+        # coordinate space so the evaluator's area-range gating stays
+        # consistent with the resized boxes
+        if "area" in sample:
+            sample["area"] = np.asarray(sample["area"], np.float32) * (
+                (new_w / w) * (new_h / h))
     return sample
 
 
@@ -59,7 +65,7 @@ def _filter_boxes(sample, min_area: float = 1.0, min_side: float = 1.0):
         & (clipped[:, 2] * clipped[:, 3] >= min_area)
     )
     sample["bboxes"] = clipped[keep]
-    for key in ("labels", "ids", "iscrowd"):
+    for key in ("labels", "ids", "iscrowd", "area"):
         if key in sample:
             sample[key] = np.asarray(sample[key])[keep]
     return sample
@@ -300,7 +306,15 @@ def _warp_sample(sample, mat):
         y1 = warped[..., 1].min(1)
         x2 = warped[..., 0].max(1)
         y2 = warped[..., 1].max(1)
-        sample["bboxes"] = np.stack([x1, y1, x2 - x1, y2 - y1], -1).astype(np.float32)
+        new_boxes = np.stack([x1, y1, x2 - x1, y2 - y1], -1).astype(np.float32)
+        if "area" in sample:
+            # scale each annotation area by its box's w*h change (exact for
+            # pure scaling; a reasonable proxy under rotation/shear — area
+            # is only consumed by eval, which never warps)
+            old = np.maximum(bw * bh, 1e-12)
+            sample["area"] = np.asarray(sample["area"], np.float32) * (
+                (new_boxes[:, 2] * new_boxes[:, 3]) / old)
+        sample["bboxes"] = new_boxes
     return sample
 
 

@@ -8,7 +8,11 @@ large, AR1, AR10, mAR, AR_small/medium/large).
 
 Protocol details matched to pycocotools:
  - IoU thresholds 0.50:0.05:0.95 (10), recall thresholds 0:0.01:1 (101)
- - area ranges all/small/medium/large = [0,1e10]/[0,32^2]/[32^2,96^2]/[96^2,1e10]
+ - area ranges all/small/medium/large = [0,1e10]/[0,32^2]/[32^2,96^2]/[96^2,1e10];
+   GT gating uses the annotation's own `area` when the target dict carries
+   one (pycocotools _prepare: ann['area'], the segmentation area on real
+   COCO) and box w*h otherwise (the reference's in-memory create_coco,
+   eval/coco.py:90); det areas are always box w*h (pycocotools loadRes)
  - maxDets (1, 10, 100); greedy matching in score order, each det takes the
    highest-IoU unmatched GT above threshold; GTs outside the area range are
    ignore-matched (neither TP nor FP); unmatched dets outside the range are
@@ -132,7 +136,8 @@ class COCOProtocolEval:
             "large": (96.0 ** 2, 1e10),
         }
 
-    def _evaluate_img(self, det_boxes, det_scores, gt_boxes, gt_crowd, ious):
+    def _evaluate_img(self, det_boxes, det_scores, gt_boxes, gt_crowd, ious,
+                      gt_area=None):
         """All areaRng cells for one (image, category) at the LARGEST
         maxDet; smaller maxDets are column slices in accumulation
         (pycocotools computes matches once with maxDets[-1] and truncates).
@@ -149,7 +154,15 @@ class COCOProtocolEval:
         """
         G = len(gt_boxes)
         D = len(det_boxes)
-        gt_area = gt_boxes[:, 2] * gt_boxes[:, 3] if G else np.zeros(0)
+        if gt_area is None:
+            # fallback: box w*h — what the reference's in-memory create_coco
+            # feeds pycocotools (eval/coco.py:90). Real COCO annotations
+            # carry a segmentation `area` instead; pass it as gt_area for
+            # exact pycocotools small/medium/large bucketing (_prepare uses
+            # ann['area']).
+            gt_area = gt_boxes[:, 2] * gt_boxes[:, 3] if G else np.zeros(0)
+        # det area is ALWAYS box w*h — pycocotools loadRes sets result
+        # areas from the bbox regardless of GT area semantics
         dt_area = det_boxes[:, 2] * det_boxes[:, 3] if D else np.zeros(0)
 
         cells = []
@@ -193,6 +206,10 @@ class COCOProtocolEval:
                     gt_crowd = np.asarray(gt["iscrowd"], bool).reshape(-1)[g_sel]
                 else:
                     gt_crowd = np.zeros(len(gt_boxes), bool)
+                if "area" in gt:
+                    gt_area = np.asarray(gt["area"], np.float64).reshape(-1)[g_sel]
+                else:
+                    gt_area = None
                 if len(det_boxes) == 0 and len(gt_boxes) == 0:
                     continue
                 # sort + IoU computed once per (image, category), shared
@@ -202,7 +219,8 @@ class COCOProtocolEval:
                 db, ds = det_boxes[order], det_scores[order]
                 ious = box_iou_xywh(db, gt_boxes, gt_crowd)
                 per_img.append(
-                    self._evaluate_img(db, ds, gt_boxes, gt_crowd, ious))
+                    self._evaluate_img(db, ds, gt_boxes, gt_crowd, ious,
+                                       gt_area))
 
             for a in range(A):
                 cells = [img_cells[a] for img_cells in per_img]
@@ -304,6 +322,8 @@ class CocoEvaluator:
             }
             if "iscrowd" in t:
                 entry["iscrowd"] = np.asarray(t["iscrowd"], np.int64).reshape(-1)
+            if "area" in t:
+                entry["area"] = np.asarray(t["area"], np.float64).reshape(-1)
             self.targets.append(entry)
 
     def get_metrics(self) -> Dict[str, float]:

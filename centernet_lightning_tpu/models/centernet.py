@@ -107,7 +107,11 @@ class CenterNet:
     # model plumbing
     # ------------------------------------------------------------------
 
-    def init(self, rng, image_size=(512, 512), batch_size: int = 1):
+    def init(self, rng, image_size=None, batch_size: int = 1):
+        # default to the task's own hparam so init/train/decode agree on
+        # resolution without every caller re-passing it
+        if image_size is None:
+            image_size = self.image_size
         dummy = jnp.zeros((batch_size, *image_size, 3), jnp.float32)
         # jit the whole init into ONE device program: eager init dispatches
         # thousands of tiny ops, which costs minutes at the axon tunnel's
@@ -153,7 +157,7 @@ class CenterNet:
             variables["batch_stats"]["backbone"] = stats
         return variables
 
-    def load_torch_checkpoint(self, path_or_state, image_size=(512, 512)):
+    def load_torch_checkpoint(self, path_or_state, image_size=None):
         """Full released-checkpoint ingestion: convert a Lightning .ckpt of
         the reference model into flax variables for this task (reference
         models/meta.py:87-96 + docs/model_zoo.md released ResNet34-BiFPN)."""

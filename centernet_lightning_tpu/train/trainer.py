@@ -477,6 +477,10 @@ class Trainer:
                          "labels": batch["labels"][i][m]}
                 if "iscrowd" in batch:
                     entry["iscrowd"] = batch["iscrowd"][i][m]
+                if "area" in batch:
+                    # annotation area: the evaluator's GT area-range source
+                    # (pycocotools ann['area'] semantics)
+                    entry["area"] = batch["area"][i][m]
                 targets.append(entry)
             evaluator.update(preds, targets)
         # multihost: union per-process ragged prediction/target lists via
@@ -490,10 +494,14 @@ class Trainer:
             # dataset provided none (0 == not-crowd, the semantic default)
             tgt_schema = {"boxes": ((4,), np.float64),
                           "labels": ((), np.int64),
-                          "iscrowd": ((), np.int64)}
+                          "iscrowd": ((), np.int64),
+                          "area": ((), np.float64)}
             for t in evaluator.targets:
                 t.setdefault("iscrowd",
                              np.zeros(len(t["labels"]), np.int64))
+                # default matches the no-area evaluator fallback (box w*h)
+                t.setdefault("area", (np.asarray(t["boxes"])[:, 2]
+                                      * np.asarray(t["boxes"])[:, 3]))
             evaluator.preds = gather_object_lists(evaluator.preds, pred_schema)
             evaluator.targets = gather_object_lists(evaluator.targets, tgt_schema)
         return {f"val/{k}": v for k, v in evaluator.get_metrics().items()}

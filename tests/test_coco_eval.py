@@ -248,3 +248,82 @@ def test_coco_dataset_keeps_crowds(tmp_path):
     batch = CollateDetection(max_boxes=4)([sample])
     assert batch["iscrowd"].shape == (1, 4)
     np.testing.assert_array_equal(batch["iscrowd"][0], [0, 1, 0, 0])
+
+
+def test_gt_area_source_segmentation_vs_box():
+    """pycocotools gates GT area ranges on the annotation's `area` field
+    (segmentation area), NOT box w*h (COCOeval._prepare). A GT whose box
+    area (40*40=1600, medium) and annotation area (900, small) fall in
+    different buckets must bucket by the annotation area when one is given,
+    and by box w*h otherwise (the reference's in-memory create_coco
+    fallback, eval/coco.py:90)."""
+    from centernet_lightning_tpu.eval.coco_eval import CocoEvaluator
+
+    pred = [{"boxes": np.array([[10.0, 10.0, 40.0, 40.0]]),
+             "scores": np.array([0.9]), "labels": np.array([0])}]
+    gt_boxes = {"boxes": np.array([[10.0, 10.0, 40.0, 40.0]]),
+                "labels": np.array([0])}
+
+    # with the annotation area: the GT is SMALL (900 < 32^2)
+    ev = CocoEvaluator(num_classes=1)
+    ev.update(pred, [{**gt_boxes, "area": np.array([900.0])}])
+    m = ev.get_metrics()
+    assert m["AP_small"] == pytest.approx(1.0)
+    assert m["AP_medium"] == -1.0  # no medium GT -> excluded from mean
+    assert m["mAP"] == pytest.approx(1.0)
+
+    # without: box w*h fallback -> MEDIUM (1600 in [1024, 9216))
+    ev2 = CocoEvaluator(num_classes=1)
+    ev2.update(pred, [gt_boxes])
+    m2 = ev2.get_metrics()
+    assert m2["AP_medium"] == pytest.approx(1.0)
+    assert m2["AP_small"] == -1.0
+    assert m2["mAP"] == pytest.approx(1.0)
+
+
+def test_area_flows_dataset_to_evaluator(tmp_path):
+    """End-to-end area plumbing: COCO json `area` -> dataset sample ->
+    Resize transform (area scales with the coordinate space) -> padded
+    collate -> evaluator target entry, reproducing pycocotools bucketing."""
+    import json
+    import cv2
+    from centernet_lightning_tpu.data.coco import CocoDetection
+    from centernet_lightning_tpu.data.collate import CollateDetection
+    from centernet_lightning_tpu.data.transforms import build_transforms
+    from centernet_lightning_tpu.eval.coco_eval import CocoEvaluator
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    cv2.imwrite(str(img_dir / "a.jpg"), np.zeros((50, 50, 3), np.uint8))
+    ann = {
+        "images": [{"id": 1, "file_name": "a.jpg", "width": 50, "height": 50}],
+        # box 20x20=400 but mask area 100: small either way at 1x, but the
+        # 2x resize scales box area to 1600 (medium) and annotation area to
+        # 400 (small) -> buckets diverge exactly like real COCO masks
+        "annotations": [{"image_id": 1, "bbox": [5, 5, 20, 20],
+                         "category_id": 1, "iscrowd": 0, "area": 100.0}],
+        "categories": [{"id": 1, "name": "x"}],
+    }
+    ann_path = tmp_path / "ann.json"
+    ann_path.write_text(json.dumps(ann))
+
+    tf = build_transforms([{"name": "Resize",
+                            "init_args": {"height": 100, "width": 100}}])
+    ds = CocoDetection(str(img_dir), str(ann_path), transforms=tf)
+    sample = ds[0]
+    assert sample["area"] == pytest.approx([400.0])  # 100 * 2 * 2
+    assert sample["bboxes"][0] == pytest.approx([10, 10, 40, 40])
+
+    batch = CollateDetection(max_boxes=4)([sample])
+    assert batch["area"].shape == (1, 4)
+
+    m = batch["mask"][0].astype(bool)
+    target = {"boxes": batch["boxes"][0][m], "labels": batch["labels"][0][m],
+              "iscrowd": batch["iscrowd"][0][m], "area": batch["area"][0][m]}
+    pred = {"boxes": batch["boxes"][0][m].astype(np.float64),
+            "scores": np.array([0.9]), "labels": np.array([0])}
+    ev = CocoEvaluator(num_classes=1)
+    ev.update([pred], [target])
+    metrics = ev.get_metrics()
+    assert metrics["AP_small"] == pytest.approx(1.0)
+    assert metrics["AP_medium"] == -1.0

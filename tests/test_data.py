@@ -442,3 +442,42 @@ def test_loader_from_config_honors_shuffle_key(coco_dir):
     second = [b["image_id"].tolist() for b in loader_from_config(
         dict(cfg), train=True)]
     assert first == second
+
+
+def test_collate_truncation_warns_once():
+    """CrowdHuman-shaped guard: an image with more GT than max_boxes (300 vs
+    128) keeps exactly max_boxes boxes and warns ONCE — the excess is
+    dropped from training targets and eval GT (the reference's unpadded
+    target lists never truncate, centernet.py:202-212)."""
+    import warnings
+
+    from centernet_lightning_tpu.data.collate import CollateDetection
+
+    crowded = {
+        "image": np.zeros((32, 32, 3), np.uint8),
+        "bboxes": np.tile(np.array([[1.0, 1.0, 5.0, 5.0]], np.float32),
+                          (300, 1)),
+        "labels": np.zeros(300, np.int64),
+    }
+    collate = CollateDetection(max_boxes=128)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        batch = collate([crowded])
+        batch2 = collate([crowded])
+    assert batch["boxes"].shape == (1, 128, 4)
+    assert batch["mask"].sum() == 128
+    assert batch2["mask"].sum() == 128
+    msgs = [w for w in caught if issubclass(w.category, RuntimeWarning)
+            and "DROPPED" in str(w.message)]
+    assert len(msgs) == 1  # once per collate instance, not per batch
+    assert collate.truncation.truncated_batches == 2
+
+    # an uncrowded image does not warn
+    ok = {"image": np.zeros((32, 32, 3), np.uint8),
+          "bboxes": np.zeros((3, 4), np.float32),
+          "labels": np.zeros(3, np.int64)}
+    c2 = CollateDetection(max_boxes=128)
+    with warnings.catch_warnings(record=True) as caught2:
+        warnings.simplefilter("always")
+        c2([ok])
+    assert not [w for w in caught2 if "DROPPED" in str(w.message)]

@@ -164,3 +164,16 @@ def test_spp_extra_block_wired_from_config():
     out = task.model.apply(variables, jnp.zeros((1, 64, 64, 3)), train=False)
     assert out["heatmap"].shape == (1, 16, 16, 3)
     assert out["box_2d"].shape == (1, 16, 16, 4)
+
+
+def test_init_defaults_to_image_size_hparam(key):
+    """task.init() with no image_size uses the task's own `image_size`
+    hparam (round-2 verdict: the (512,512) literal invited silent shape
+    mismatches now that image_size is a real hparam)."""
+    task = CenterNet(num_classes=2, backbone="resnet18", neck="FPN",
+                     neck_config={"out_channels": 16},
+                     head_config={"width": 8, "depth": 1},
+                     image_size=(64, 64))
+    variables = task.init(key)
+    out = task.apply(variables, jnp.zeros((1, 64, 64, 3)))
+    assert out["heatmap"].shape == (1, 16, 16, 2)

@@ -80,6 +80,8 @@ def main():
                      "labels": batch["labels"][i][m]}
             if "iscrowd" in batch:
                 entry["iscrowd"] = batch["iscrowd"][i][m]
+            if "area" in batch:
+                entry["area"] = batch["area"][i][m]
             targets.append(entry)
         evaluator.update(preds, targets)
         if "image_id" in batch:
