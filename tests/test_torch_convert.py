@@ -33,19 +33,21 @@ class TorchBasicBlock(nn.Module):
         return F.relu(y + idn)
 
 
-class TorchResNet18(nn.Module):
-    """torchvision-naming ResNet-18 feature extractor."""
+class TorchResNet(nn.Module):
+    """torchvision-naming BasicBlock ResNet feature extractor; stage_sizes
+    (2,2,2,2) = resnet18, (3,4,6,3) = resnet34 (the released checkpoint's
+    backbone, reference docs/model_zoo.md:3-5)."""
 
-    def __init__(self):
+    def __init__(self, stage_sizes=(2, 2, 2, 2)):
         super().__init__()
         self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
         self.bn1 = nn.BatchNorm2d(64)
         self.maxpool = nn.MaxPool2d(3, 2, 1)
         chans = [64, 128, 256, 512]
         c_in = 64
-        for s, c in enumerate(chans):
+        for s, (c, depth) in enumerate(zip(chans, stage_sizes)):
             blocks = []
-            for b in range(2):
+            for b in range(depth):
                 blocks.append(TorchBasicBlock(c_in, c, 2 if (s > 0 and b == 0) else 1))
                 c_in = c
             setattr(self, f"layer{s + 1}", nn.Sequential(*blocks))
@@ -57,6 +59,9 @@ class TorchResNet18(nn.Module):
             x = getattr(self, f"layer{s + 1}")(x)
             feats.append(x)
         return feats
+
+
+TorchResNet18 = TorchResNet
 
 
 def _randomize_bn(model):
@@ -342,74 +347,79 @@ def test_conv_transpose_upsample_conversion(rng):
         rtol=1e-3, atol=1e-4)
 
 
+class TorchFuse(nn.Module):
+    def __init__(self, n_in, ch):
+        super().__init__()
+        self.projs = nn.ModuleList(
+            [TorchConvBnReLU(ch, ch, 1, act=False) for _ in range(n_in)]
+        )
+        self.fuse_weights = nn.Parameter(torch.ones(n_in))
+        self.out = TorchConvBnReLU(ch, ch, 3)
+
+    def forward(self, inputs):
+        target = inputs[0].shape[-2:]
+        projected = []
+        for p, f in zip(self.projs, inputs):
+            f = p(f)
+            if f.shape[-2:] != target:
+                if f.shape[-2] < target[-2]:
+                    f = F.interpolate(f, size=target, mode="nearest")
+                else:
+                    f = F.max_pool2d(f, 2, 2)
+            projected.append(f)
+        w = F.relu(self.fuse_weights)
+        w = w / (w.sum() + 1e-4)
+        x = sum(wi * f for wi, f in zip(w, projected))
+        return self.out(x)
+
+
+class TorchBiFPN(nn.Module):
+    """Mirror of our flax BiFPN (registration order matches the flax call
+    order so the structural pairer lines up)."""
+
+    def __init__(self, in_channels, ch, repeats=1):
+        super().__init__()
+        n = len(in_channels)
+        self.inputs = nn.ModuleList(
+            [TorchConvBnReLU(c, ch, 1, act=False) for c in in_channels]
+        )
+        fuses = []
+        for _ in range(repeats):
+            for _ in range(n - 1):          # top-down
+                fuses.append(TorchFuse(2, ch))
+            for i in range(1, n):           # bottom-up
+                fuses.append(TorchFuse(3 if i < n - 1 else 2, ch))
+        self.fuses = nn.ModuleList(fuses)
+        self.n = n
+        self.repeats = repeats
+
+    def forward(self, feats):
+        levels = [p(f) for p, f in zip(self.inputs, feats)]
+        n = self.n
+        fi = 0
+        for _ in range(self.repeats):
+            td = [None] * n
+            td[-1] = levels[-1]
+            for i in range(n - 2, -1, -1):
+                td[i] = self.fuses[fi]([levels[i], td[i + 1]])
+                fi += 1
+            bu = [None] * n
+            bu[0] = td[0]
+            for i in range(1, n):
+                ins = [td[i], bu[i - 1]]
+                if i < n - 1:
+                    ins.append(levels[i])
+                bu[i] = self.fuses[fi](ins)
+                fi += 1
+            levels = bu
+        return levels[0]
+
+
 def test_bifpn_conversion_parity(rng):
     """BiFPN (the released ResNet34-BiFPN checkpoint's neck,
     reference docs/model_zoo.md:3-5) converts via the structural pairer,
     including the softmax-free fusion weight vectors."""
     from centernet_lightning_tpu.models.necks import BiFPN
-
-    class TorchFuse(nn.Module):
-        def __init__(self, n_in, ch):
-            super().__init__()
-            self.projs = nn.ModuleList(
-                [TorchConvBnReLU(ch, ch, 1, act=False) for _ in range(n_in)]
-            )
-            self.fuse_weights = nn.Parameter(torch.ones(n_in))
-            self.out = TorchConvBnReLU(ch, ch, 3)
-
-        def forward(self, inputs):
-            target = inputs[0].shape[-2:]
-            projected = []
-            for p, f in zip(self.projs, inputs):
-                f = p(f)
-                if f.shape[-2:] != target:
-                    if f.shape[-2] < target[-2]:
-                        f = F.interpolate(f, size=target, mode="nearest")
-                    else:
-                        f = F.max_pool2d(f, 2, 2)
-                projected.append(f)
-            w = F.relu(self.fuse_weights)
-            w = w / (w.sum() + 1e-4)
-            x = sum(wi * f for wi, f in zip(w, projected))
-            return self.out(x)
-
-    class TorchBiFPN(nn.Module):
-        def __init__(self, in_channels, ch, repeats=1):
-            super().__init__()
-            n = len(in_channels)
-            self.inputs = nn.ModuleList(
-                [TorchConvBnReLU(c, ch, 1, act=False) for c in in_channels]
-            )
-            fuses = []
-            for _ in range(repeats):
-                for _ in range(n - 1):          # top-down
-                    fuses.append(TorchFuse(2, ch))
-                for i in range(1, n):           # bottom-up
-                    fuses.append(TorchFuse(3 if i < n - 1 else 2, ch))
-            self.fuses = nn.ModuleList(fuses)
-            self.n = n
-            self.repeats = repeats
-
-        def forward(self, feats):
-            levels = [p(f) for p, f in zip(self.inputs, feats)]
-            n = self.n
-            fi = 0
-            for _ in range(self.repeats):
-                td = [None] * n
-                td[-1] = levels[-1]
-                for i in range(n - 2, -1, -1):
-                    td[i] = self.fuses[fi]([levels[i], td[i + 1]])
-                    fi += 1
-                bu = [None] * n
-                bu[0] = td[0]
-                for i in range(1, n):
-                    ins = [td[i], bu[i - 1]]
-                    if i < n - 1:
-                        ins.append(levels[i])
-                    bu[i] = self.fuses[fi](ins)
-                    fi += 1
-                levels = bu
-            return levels[0]
 
     torch.manual_seed(3)
     in_ch = [32, 64, 96]
