@@ -41,8 +41,14 @@ CONFIGS = {
         head_config={"width": 256, "depth": 3},
     ),
     "resnet18_dcn": dict(                   # VOC 37.5: ResNet-18 + FPN/DCNv2
-        backbone="resnet18", neck="FPN",
+        backbone="resnet18", neck="FPN",    # exact unbounded gather engine
         neck_config={"out_channels": 128, "conv_type": "dcn"},
+        head_config={"width": 128, "depth": 2},
+    ),
+    "resnet18_dcn_fast": dict(              # same model, shift-decomposition
+        backbone="resnet18", neck="FPN",    # DCN engine (offsets clamped ±3;
+        neck_config={"out_channels": 128,   # see DeformableConvBlock)
+                     "conv_type": "dcn_fast"},
         head_config={"width": 128, "depth": 2},
     ),
     "mobilenetv2_sep": dict(                # VOC 15.4: MobileNetV2 + sep FPN

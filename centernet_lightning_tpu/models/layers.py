@@ -83,13 +83,25 @@ class SeparableConvNormAct(nn.Module):
 
 
 class DeformableConvBlock(nn.Module):
-    """Deformable convolution v1/v2 via bilinear gather (TPU-native DCN).
+    """Deformable convolution v1/v2 (TPU-native DCN).
 
     Replaces torchvision.ops.DeformConv2d (reference layers.py:9-38): a
     zero-init offset conv predicts per-output-pixel sampling offsets for the
-    k*k taps; v2 adds a sigmoid modulation mask. Sampling is expressed as a
-    dense bilinear gather which XLA vectorizes; the conv itself is an MXU
-    matmul over the gathered taps.
+    k*k taps; v2 adds a sigmoid modulation mask.
+
+    Two sampling engines:
+     - `max_displacement=None` (default, exact): per-tap bilinear window
+       gather — torchvision semantics for UNBOUNDED offsets; gather-bound
+       on TPU (XLA gathers re-read HBM per window).
+     - `max_displacement=D` (TPU-fast): offsets are clamped to [-D, D] and
+       sampling is decomposed into (2D+2)^2 STATIC shifts of the
+       zero-padded map with per-pixel bilinear weights — no gathers at
+       all, pure VPU multiply-adds that XLA fuses into one loop. Exactly
+       equal to the gather engine whenever |offset| <= D (pinned by
+       tests/test_layers.py); trained DCN offsets are local by design
+       (zero-init conv, receptive-field refinement), so D=3-4 loses
+       nothing in practice while removing the gather bottleneck
+       (reference accuracy recipes with DCNv2: docs/experiments.md:57-60).
     """
 
     out_channels: int
@@ -97,6 +109,7 @@ class DeformableConvBlock(nn.Module):
     version: int = 2
     act: Callable = nn.relu
     use_norm: bool = True
+    max_displacement: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -172,17 +185,59 @@ class DeformableConvBlock(nn.Module):
             "kernel", nn.initializers.he_normal(), (k * k * c, self.out_channels)
         )
         acc = jnp.zeros((n, h, w, self.out_channels), jnp.float32)
-        for t in range(k * k):
-            sample_y = ys[None] + tap_y[t] + off[..., t, 0]         # (N, H, W)
-            sample_x = xs[None] + tap_x[t] + off[..., t, 1]
-            tap_val = jax.vmap(bilinear)(x, sample_y, sample_x)     # (N, H, W, C)
-            if mask is not None:
-                tap_val = tap_val * mask[..., t:t + 1]
-            acc = acc + jnp.einsum(
-                "nhwc,co->nhwo", tap_val.astype(x.dtype),
-                kernel[t * c:(t + 1) * c],
-                preferred_element_type=jnp.float32)
-        y = acc.astype(x.dtype)
+        if self.max_displacement is not None:
+            # shift-decomposition engine: zero-pad once, then per tap a
+            # static (2D+2)^2 loop of weighted shifted views. Every term is
+            # slice + select + multiply-add — no gather ops; XLA fuses the
+            # whole loop with x resident in VMEM tiles. Zero padding
+            # reproduces torchvision's zero outside-image sampling.
+            d = int(self.max_displacement)
+            pad = d + 2  # covers shift range [tap-d, tap+d+1], taps in ±1
+            xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+            # static python ints for the tap positions (tap_y/tap_x are
+            # traced under jit; the shift bounds must be compile-time)
+            tap_int = np.arange(k) - half
+            for t in range(k * k):
+                ity = int(tap_int[t // k])
+                itx = int(tap_int[t % k])
+                u = ity + jnp.clip(off[..., t, 0], -d, d)       # (N, H, W)
+                v = itx + jnp.clip(off[..., t, 1], -d, d)
+                a0 = jnp.floor(u)
+                fy = u - a0
+                b0 = jnp.floor(v)
+                fx = v - b0
+                a0 = a0.astype(jnp.int32)
+                b0 = b0.astype(jnp.int32)
+                tap_val = jnp.zeros((n, h, w, c), jnp.float32)
+                for sa in range(ity - d, ity + d + 2):
+                    wy = jnp.where(a0 == sa, 1.0 - fy,
+                                   jnp.where(a0 + 1 == sa, fy, 0.0))
+                    for sb in range(itx - d, itx + d + 2):
+                        wx = jnp.where(b0 == sb, 1.0 - fx,
+                                       jnp.where(b0 + 1 == sb, fx, 0.0))
+                        shifted = jax.lax.slice(
+                            xp, (0, pad + sa, pad + sb, 0),
+                            (n, pad + sa + h, pad + sb + w, c))
+                        tap_val = tap_val + (wy * wx)[..., None] * shifted
+                if mask is not None:
+                    tap_val = tap_val * mask[..., t:t + 1]
+                acc = acc + jnp.einsum(
+                    "nhwc,co->nhwo", tap_val.astype(x.dtype),
+                    kernel[t * c:(t + 1) * c],
+                    preferred_element_type=jnp.float32)
+            y = acc.astype(x.dtype)
+        else:
+            for t in range(k * k):
+                sample_y = ys[None] + tap_y[t] + off[..., t, 0]     # (N, H, W)
+                sample_x = xs[None] + tap_x[t] + off[..., t, 1]
+                tap_val = jax.vmap(bilinear)(x, sample_y, sample_x)  # (N, H, W, C)
+                if mask is not None:
+                    tap_val = tap_val * mask[..., t:t + 1]
+                acc = acc + jnp.einsum(
+                    "nhwc,co->nhwo", tap_val.astype(x.dtype),
+                    kernel[t * c:(t + 1) * c],
+                    preferred_element_type=jnp.float32)
+            y = acc.astype(x.dtype)
         if self.use_norm:
             y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(y)
         else:
@@ -192,11 +247,18 @@ class DeformableConvBlock(nn.Module):
         return y
 
 
+import functools as _functools
+
 CONV_BLOCKS = {
     "normal": ConvNormAct,
     "separable": SeparableConvNormAct,
     "dcn": DeformableConvBlock,
     "deformable": DeformableConvBlock,
+    # shift-decomposition DCN engines (see DeformableConvBlock docstring):
+    # offsets clamped to ±D, zero gathers — the TPU-fast path
+    "dcn_fast": _functools.partial(DeformableConvBlock, max_displacement=3),
+    "dcn_fast_d2": _functools.partial(DeformableConvBlock, max_displacement=2),
+    "dcn_fast_d4": _functools.partial(DeformableConvBlock, max_displacement=4),
 }
 
 

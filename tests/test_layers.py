@@ -201,3 +201,95 @@ def test_dcn_far_out_of_bounds_samples_are_zero(key, rng):
     params["kernel"] = jnp.ones_like(params["kernel"])
     y = block.apply({"params": params}, x, train=False)
     np.testing.assert_array_equal(np.asarray(y), 0.0)
+
+
+def test_dcn_shift_engine_matches_gather_engine_within_bound(key, rng):
+    """The TPU-fast shift-decomposition DCN (max_displacement=D) must equal
+    the exact gather engine whenever every offset lies within [-D, D] —
+    same params, same input, both v1 and v2."""
+    x = jnp.asarray(rng.normal(size=(2, 7, 9, 5)).astype(np.float32))
+    for version in (1, 2):
+        exact = DeformableConvBlock(out_channels=4, version=version,
+                                    use_norm=False, act=None)
+        fast = DeformableConvBlock(out_channels=4, version=version,
+                                   use_norm=False, act=None,
+                                   max_displacement=3)
+        variables = exact.init(key, x, train=False)
+        # random params small enough that every offset stays within ±3
+        # (asserted below as the equality precondition)
+        params = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(rng.normal(scale=0.05, size=p.shape),
+                                  p.dtype),
+            variables["params"])
+        y_exact = exact.apply({"params": params}, x, train=False)
+        y_fast = fast.apply({"params": params}, x, train=False)
+        off = jax.lax.conv_general_dilated(
+            x, params["Conv_0"]["kernel"], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + params["Conv_0"]["bias"]
+        assert float(jnp.abs(off).max()) < 3.0  # precondition for equality
+        np.testing.assert_allclose(np.asarray(y_exact), np.asarray(y_fast),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_dcn_shift_engine_clamps_large_offsets(key, rng):
+    """Offsets beyond max_displacement are clamped to ±D (documented
+    contract): pushing every offset far positive must equal the exact
+    engine evaluated with offsets replaced by +D exactly."""
+    x = jnp.asarray(rng.normal(size=(1, 6, 6, 3)).astype(np.float32))
+    d = 2
+    fast = DeformableConvBlock(out_channels=3, version=1, use_norm=False,
+                               act=None, max_displacement=d)
+    variables = fast.init(key, x, train=False)
+    params = jax.tree_util.tree_map(lambda p: jnp.zeros_like(p),
+                                    variables["params"])
+    params = dict(params)
+    params["Conv_0"] = dict(params["Conv_0"],
+                            bias=jnp.full_like(params["Conv_0"]["bias"], 50.0))
+    params["kernel"] = jnp.asarray(
+        rng.normal(size=np.asarray(params["kernel"]).shape).astype(np.float32))
+    y_fast = fast.apply({"params": params}, x, train=False)
+
+    exact = DeformableConvBlock(out_channels=3, version=1, use_norm=False,
+                                act=None)
+    params_clamped = dict(params)
+    params_clamped["Conv_0"] = dict(
+        params["Conv_0"],
+        bias=jnp.full_like(params["Conv_0"]["bias"], float(d)))
+    y_ref = exact.apply({"params": params_clamped}, x, train=False)
+    np.testing.assert_allclose(np.asarray(y_fast), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_dcn_fast_registry_entries(key, rng):
+    """CONV_BLOCKS exposes the shift-engine variants for config wiring
+    (neck_config conv_type: dcn_fast)."""
+    from centernet_lightning_tpu.models.layers import CONV_BLOCKS
+
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 3)).astype(np.float32))
+    for name, d in (("dcn_fast", 3), ("dcn_fast_d2", 2), ("dcn_fast_d4", 4)):
+        block = CONV_BLOCKS[name](4, 3)
+        assert block.max_displacement == d
+        variables = block.init(key, x, train=True)
+        y = block.apply(variables, x, train=False)
+        assert y.shape == (1, 4, 4, 4)
+
+
+def test_dcn_shift_engine_is_differentiable(key, rng):
+    """Training path: gradients flow through the shift engine to input,
+    offsets, mask and kernel (the gather engine's autodiff equivalent)."""
+    x = jnp.asarray(rng.normal(size=(1, 5, 5, 3)).astype(np.float32))
+    block = DeformableConvBlock(out_channels=2, version=2, use_norm=False,
+                                act=None, max_displacement=2)
+    variables = block.init(key, x, train=False)
+    params = jax.tree_util.tree_map(
+        lambda p: jnp.asarray(rng.normal(scale=0.2, size=p.shape), p.dtype),
+        variables["params"])
+
+    def loss(p, xin):
+        return jnp.sum(block.apply({"params": p}, xin, train=False) ** 2)
+
+    gp, gx = jax.grad(loss, argnums=(0, 1))(params, x)
+    for leaf in jax.tree_util.tree_leaves(gp):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+    assert float(jnp.abs(gx).sum()) > 0
+    assert float(jnp.abs(gp["Conv_0"]["kernel"]).sum()) > 0  # offset grads
