@@ -153,6 +153,7 @@ class Trainer:
         )
         self.train_step = make_train_step(task, compute_dtype=compute_dtype)
         self.eval_step = make_eval_step(task)
+        self._feature_fn = None  # lazy jitted backbone-feature diagnostic
         self.best_metric = -np.inf if monitor_mode == "max" else np.inf
         if hasattr(self, "_resumed_best"):
             self.best_metric = self._resumed_best
@@ -424,8 +425,48 @@ class Trainer:
                 labels=np.asarray(dets["labels"][0]),
                 scores=np.asarray(dets["scores"][0]), step=step,
             )
+            self._log_feature_diagnostic(batch, step)
         except Exception:
             pass
+
+    def _log_feature_diagnostic(self, batch, step: int):
+        """Backbone feature colormaps — the last piece of the
+        DiagnoseCenterNetLogger surface (reference image_annotate.py:169-264
+        logs intermediate feature maps as mpl colormaps): channel-mean of
+        every backbone pyramid level on the first validation image,
+        viridis-mapped, tiled coarse->fine."""
+        import cv2
+
+        from ..utils.viz import apply_mpl_cmap, make_image_grid
+
+        if self._feature_fn is None:
+            task = self.task
+
+            def feats(state, images):
+                variables = {"params": state.params,
+                             "batch_stats": state.batch_stats}
+                if images.dtype == jnp.uint8:
+                    from ..ops.preprocess import preprocess
+                    from .state import _task_mean_std
+
+                    mean, std = _task_mean_std(task)
+                    images = preprocess(images, mean=mean, std=std)
+                pyramid = task.model.apply(
+                    variables, images, train=False,
+                    method=lambda m, x, train: m.backbone(x, train))
+                # channel-mean per level: one (N, H_l, W_l) map each
+                return [level.mean(axis=-1) for level in pyramid]
+
+            self._feature_fn = jax.jit(feats)
+        levels = jax.device_get(self._feature_fn(self.state, batch["image"][:1]))
+        size = max(l.shape[1] for l in levels)
+        tiles = [
+            cv2.resize(apply_mpl_cmap(np.asarray(l[0])), (size, size),
+                       interpolation=cv2.INTER_NEAREST)
+            for l in levels
+        ]
+        self.logger.log_image("diagnostics/backbone_features",
+                              make_image_grid(tiles, ncols=2), step)
 
     def validate_detection(self) -> Dict[str, float]:
         """COCO validation epoch (reference centernet.py:202-218).

@@ -48,3 +48,30 @@ def test_stablehlo_export_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(got["boxes"]), np.asarray(ref["boxes"]), rtol=1e-4, atol=1e-4
     )
+
+
+def test_onnx_export_leg(tmp_path):
+    """--format onnx: full format parity with the reference
+    (tools/export.py:14-20) where tf2onnx is importable; in this image
+    (no tf2onnx) it fails with actionable guidance instead of a bare
+    ImportError."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from export import export_onnx
+
+    predictor = build_centernet({"model": TINY})
+    out = str(tmp_path / "model.onnx")
+    try:
+        import tf2onnx  # noqa: F401
+        has_tf2onnx = True
+    except ImportError:
+        has_tf2onnx = False
+
+    if not has_tf2onnx:
+        with pytest.raises(RuntimeError, match="tf2onnx"):
+            export_onnx(predictor, out, height=64, width=64)
+    else:
+        export_onnx(predictor, out, height=64, width=64)
+        assert os.path.getsize(out) > 0

@@ -255,3 +255,36 @@ def test_trainer_sigterm_checkpoints_and_exits_cleanly(synthetic_coco, tmp_path)
     assert int(t2.state.step) == 3
     # fit() restored whatever handler was installed before it ran
     assert _signal.getsignal(_signal.SIGTERM) is prior_handler
+
+
+def test_backbone_feature_diagnostic_logged(tmp_path):
+    """The validation diagnostic grid includes backbone feature colormaps
+    (reference DiagnoseCenterNetLogger, image_annotate.py:169-264) — one
+    viridis tile per pyramid level, logged under
+    diagnostics/backbone_features."""
+    task = CenterNet(
+        num_classes=2, backbone="resnet18", neck="FPN",
+        neck_config={"out_channels": 16},
+        head_config={"width": 8, "depth": 1}, num_detections=5,
+        image_size=(64, 64),
+    )
+    trainer = Trainer(task, train_loader=None, val_loader=None,
+                      max_epochs=1, image_size=(64, 64), diagnostics=True)
+
+    logged = {}
+
+    class SpyLogger:
+        def log_image(self, tag, image, step):
+            logged[tag] = np.asarray(image)
+
+        def __getattr__(self, name):
+            return lambda *a, **k: None
+
+    trainer.logger = SpyLogger()
+    batch = {"image": np.random.default_rng(0).integers(
+        0, 255, (2, 64, 64, 3)).astype(np.uint8)}
+    trainer._log_feature_diagnostic(batch, step=0)
+    grid = logged["diagnostics/backbone_features"]
+    assert grid.ndim == 3 and grid.shape[-1] == 3 and grid.dtype == np.uint8
+    # resnet18 emits 4 pyramid levels -> 2x2 grid of equally-resized tiles
+    assert grid.shape[0] > 16 and grid.shape[1] > 16

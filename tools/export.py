@@ -81,6 +81,49 @@ def export_savedmodel(predictor, output: str, batch_size: int = 1,
     return output
 
 
+def export_onnx(predictor, output: str, batch_size: int = 1,
+                height: int = 512, width: int = 512, opset: int = 13):
+    """ONNX artifact for non-TPU consumers — format parity with the
+    reference's `export_onnx` (reference tools/export.py:14-20, opset 11).
+
+    Route: the SAME serving program (preprocess+forward+decode in-graph)
+    -> jax2tf graph serialization -> tf2onnx. tf2onnx is not part of this
+    TPU image (zero egress); when missing, a clear error points at the
+    StableHLO/SavedModel artifacts which any jax2tf-capable host can
+    convert offline."""
+    try:
+        import tf2onnx
+    except ImportError as exc:
+        raise RuntimeError(
+            "ONNX export requires the tf2onnx package (pip install tf2onnx "
+            "on a machine with egress). This image ships without it; "
+            "export --format stablehlo or savedmodel here and convert the "
+            "SavedModel with `python -m tf2onnx.convert --saved-model ...` "
+            "offline."
+        ) from exc
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+
+    serve, _ = make_serving_fn(predictor, batch_size, height, width)
+    spec = tf.TensorSpec([batch_size, height, width, 3], tf.uint8,
+                         name="images")
+    try:
+        converted = jax2tf.convert(serve, native_serialization=False)
+    except Exception:
+        # newer jax2tf may only support native serialization; tf2onnx can
+        # not see through the StableHLO custom call, so fail honestly
+        raise RuntimeError(
+            "this jax2tf build only supports native serialization, which "
+            "tf2onnx cannot convert; export --format savedmodel and use a "
+            "TF->ONNX path that understands XlaCallModule instead")
+    tf_fn = tf.function(converted, input_signature=[spec], autograph=False)
+    model_proto, _ = tf2onnx.convert.from_function(
+        tf_fn, input_signature=[spec], opset=opset, output_path=output)
+    print(f"wrote ONNX (opset {opset}, "
+          f"{len(model_proto.SerializeToString())} bytes) -> {output}")
+    return output
+
+
 def main():
     parser = argparse.ArgumentParser(description="Export CenterNet for serving")
     parser.add_argument("--config", help="model yaml (or use --checkpoint dir)")
@@ -89,11 +132,13 @@ def main():
                         help="reference Lightning .ckpt/.pth to convert and "
                              "export directly (requires --config)")
     parser.add_argument("--output", required=True)
-    parser.add_argument("--format", choices=["stablehlo", "savedmodel"],
+    parser.add_argument("--format", choices=["stablehlo", "savedmodel", "onnx"],
                         default="stablehlo")
     parser.add_argument("--batch-size", type=int, default=1)
     parser.add_argument("--height", type=int, default=512)
     parser.add_argument("--width", type=int, default=512)
+    parser.add_argument("--opset", type=int, default=13,
+                        help="ONNX opset (reference exported opset 11)")
     args = parser.parse_args()
 
     if args.torch_ckpt and not args.config:
@@ -114,6 +159,9 @@ def main():
     if args.format == "stablehlo":
         export_stablehlo(predictor, args.output, args.batch_size,
                          args.height, args.width)
+    elif args.format == "onnx":
+        export_onnx(predictor, args.output, args.batch_size,
+                    args.height, args.width, opset=args.opset)
     else:
         export_savedmodel(predictor, args.output, args.batch_size,
                           args.height, args.width)
