@@ -188,12 +188,15 @@ class DeformableConvBlock(nn.Module):
         if self.max_displacement is not None:
             # shift-decomposition engine: zero-pad once, then per tap a
             # static (2D+2)^2 loop of weighted shifted views. Every term is
-            # slice + select + multiply-add — no gather ops; XLA fuses the
-            # whole loop with x resident in VMEM tiles. Zero padding
-            # reproduces torchvision's zero outside-image sampling.
+            # slice + multiply-add — no gather ops. Internally NCHW: the
+            # per-pixel (H, W) bilinear weights then share each channel
+            # plane's tile layout (lanes=W), so the multiply broadcasts
+            # over C for free instead of relayouting per shift. Zero
+            # padding reproduces torchvision's zero outside-image sampling.
             d = int(self.max_displacement)
             pad = d + 2  # covers shift range [tap-d, tap+d+1], taps in ±1
-            xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+            xt = jnp.transpose(x, (0, 3, 1, 2))             # (N, C, H, W)
+            xp = jnp.pad(xt, ((0, 0), (0, 0), (pad, pad), (pad, pad)))
             # static python ints for the tap positions (tap_y/tap_x are
             # traced under jit; the shift bounds must be compile-time)
             tap_int = np.arange(k) - half
@@ -208,21 +211,23 @@ class DeformableConvBlock(nn.Module):
                 fx = v - b0
                 a0 = a0.astype(jnp.int32)
                 b0 = b0.astype(jnp.int32)
-                tap_val = jnp.zeros((n, h, w, c), jnp.float32)
+                if mask is not None:
+                    m_t = mask[..., t]                          # (N, H, W)
+                tap_val = jnp.zeros((n, c, h, w), jnp.float32)
                 for sa in range(ity - d, ity + d + 2):
                     wy = jnp.where(a0 == sa, 1.0 - fy,
                                    jnp.where(a0 + 1 == sa, fy, 0.0))
+                    if mask is not None:
+                        wy = wy * m_t
                     for sb in range(itx - d, itx + d + 2):
                         wx = jnp.where(b0 == sb, 1.0 - fx,
                                        jnp.where(b0 + 1 == sb, fx, 0.0))
                         shifted = jax.lax.slice(
-                            xp, (0, pad + sa, pad + sb, 0),
-                            (n, pad + sa + h, pad + sb + w, c))
-                        tap_val = tap_val + (wy * wx)[..., None] * shifted
-                if mask is not None:
-                    tap_val = tap_val * mask[..., t:t + 1]
+                            xp, (0, 0, pad + sa, pad + sb),
+                            (n, c, pad + sa + h, pad + sb + w))
+                        tap_val = tap_val + (wy * wx)[:, None] * shifted
                 acc = acc + jnp.einsum(
-                    "nhwc,co->nhwo", tap_val.astype(x.dtype),
+                    "nchw,co->nhwo", tap_val.astype(x.dtype),
                     kernel[t * c:(t + 1) * c],
                     preferred_element_type=jnp.float32)
             y = acc.astype(x.dtype)
