@@ -52,14 +52,22 @@ def ground_truth_to_coco_annotations(
         images.append({"id": img_id})
         boxes = np.asarray(t["boxes"], float).reshape(-1, 4)
         labels = np.asarray(t["labels"], int).reshape(-1)
-        for box, label in zip(boxes, labels):
+        # honor a per-box annotation `area` when present (pycocotools GT
+        # area semantics); box w*h is the reference's create_coco fallback
+        areas = np.asarray(
+            t["area"], float).reshape(-1) if "area" in t else (
+            boxes[:, 2] * boxes[:, 3])
+        crowds = np.asarray(
+            t["iscrowd"], int).reshape(-1) if "iscrowd" in t else (
+            np.zeros(len(labels), int))
+        for box, label, area, crowd in zip(boxes, labels, areas, crowds):
             annotations.append({
                 "id": ann_id,
                 "image_id": img_id,
                 "category_id": int(label),
                 "bbox": [float(x) for x in box],
-                "area": float(box[2] * box[3]),
-                "iscrowd": 0,
+                "area": float(area),
+                "iscrowd": int(crowd),
             })
             ann_id += 1
             num_classes = max(num_classes, int(label) + 1)

@@ -165,3 +165,23 @@ def test_val_interval_mapping(capsys):
     assert v({"check_val_every_n_epoch": 3}) == 3
     assert v({"val_check_interval": 0.5}) == 1  # sub-epoch -> every epoch
     assert "val_check_interval" in capsys.readouterr().out
+
+
+def test_ground_truth_to_coco_annotations_honors_area_and_crowd():
+    """The GT->COCO converter writes the annotation's own area/iscrowd
+    when present (pycocotools GT semantics) and falls back to box w*h /
+    0 otherwise (the reference create_coco fallback, eval/coco.py:90)."""
+    from centernet_lightning_tpu.eval.utils import (
+        ground_truth_to_coco_annotations,
+    )
+
+    targets = [
+        {"boxes": np.array([[1.0, 2.0, 10.0, 10.0]]),
+         "labels": np.array([0]),
+         "area": np.array([42.0]), "iscrowd": np.array([1])},
+        {"boxes": np.array([[0.0, 0.0, 4.0, 5.0]]), "labels": np.array([1])},
+    ]
+    coco = ground_truth_to_coco_annotations(targets)
+    anns = coco["annotations"]
+    assert anns[0]["area"] == 42.0 and anns[0]["iscrowd"] == 1
+    assert anns[1]["area"] == 20.0 and anns[1]["iscrowd"] == 0
