@@ -45,8 +45,8 @@ CONFIGS = {
         neck_config={"out_channels": 128, "conv_type": "dcn"},
         head_config={"width": 128, "depth": 2},
     ),
-    "resnet18_dcn_fast": dict(              # same model, shift-decomposition
-        backbone="resnet18", neck="FPN",    # DCN engine (offsets clamped ±3;
+    "resnet18_dcn_fast": dict(              # same model, Pallas shift-engine
+        backbone="resnet18", neck="FPN",    # DCN (offsets clamped ±2;
         neck_config={"out_channels": 128,   # see DeformableConvBlock)
                      "conv_type": "dcn_fast"},
         head_config={"width": 128, "depth": 2},

@@ -110,6 +110,10 @@ class DeformableConvBlock(nn.Module):
     act: Callable = nn.relu
     use_norm: bool = True
     max_displacement: Optional[int] = None
+    # shift-engine sampler: "auto" uses the Pallas VMEM-resident kernel on
+    # TPU when the map fits (ops/pallas_dcn.py), XLA shifts otherwise;
+    # force with "pallas" / "xla"
+    sampler: str = "auto"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -193,41 +197,47 @@ class DeformableConvBlock(nn.Module):
             # plane's tile layout (lanes=W), so the multiply broadcasts
             # over C for free instead of relayouting per shift. Zero
             # padding reproduces torchvision's zero outside-image sampling.
+            from ..ops import pallas_dcn
+
             d = int(self.max_displacement)
             pad = d + 2  # covers shift range [tap-d, tap+d+1], taps in ±1
             xt = jnp.transpose(x, (0, 3, 1, 2))             # (N, C, H, W)
             xp = jnp.pad(xt, ((0, 0), (0, 0), (pad, pad), (pad, pad)))
+            use_pallas = self.sampler == "pallas" or (
+                self.sampler == "auto"
+                and jax.default_backend() == "tpu"
+                and pallas_dcn.pallas_dcn_supported(c, h, w, pad, x.dtype))
             # static python ints for the tap positions (tap_y/tap_x are
             # traced under jit; the shift bounds must be compile-time)
             tap_int = np.arange(k) - half
+            taps = tuple((int(tap_int[t // k]), int(tap_int[t % k]))
+                         for t in range(k * k))
+            # per-tap floor/fraction planes, (N, T, H, W)
+            tap_y_c = jnp.asarray([ty for ty, _ in taps], jnp.float32)
+            tap_x_c = jnp.asarray([tx for _, tx in taps], jnp.float32)
+            off_t = jnp.moveaxis(off, 3, 1)                  # (N, T, H, W, 2)
+            u = tap_y_c[None, :, None, None] + jnp.clip(off_t[..., 0], -d, d)
+            v = tap_x_c[None, :, None, None] + jnp.clip(off_t[..., 1], -d, d)
+            a0f = jnp.floor(u)
+            fy = u - a0f
+            b0f = jnp.floor(v)
+            fx = v - b0f
+            a0 = a0f.astype(jnp.int32)
+            b0 = b0f.astype(jnp.int32)
+            wm = (jnp.moveaxis(mask, 3, 1) if mask is not None
+                  else jnp.ones_like(fy))
+            # accumulation in the input dtype: each pixel's sum has only 4
+            # nonzero bilinear terms, so this costs no more precision than
+            # the matmul that follows
+            if use_pallas:
+                tap_vals = pallas_dcn.dcn_sample_all_taps(
+                    xp, a0, b0, fy, fx, wm, d, taps, h, w)
+            else:
+                tap_vals = pallas_dcn._xla_all(
+                    xp, a0, b0, fy, fx, wm, d, taps, h, w)
             for t in range(k * k):
-                ity = int(tap_int[t // k])
-                itx = int(tap_int[t % k])
-                u = ity + jnp.clip(off[..., t, 0], -d, d)       # (N, H, W)
-                v = itx + jnp.clip(off[..., t, 1], -d, d)
-                a0 = jnp.floor(u)
-                fy = u - a0
-                b0 = jnp.floor(v)
-                fx = v - b0
-                a0 = a0.astype(jnp.int32)
-                b0 = b0.astype(jnp.int32)
-                if mask is not None:
-                    m_t = mask[..., t]                          # (N, H, W)
-                tap_val = jnp.zeros((n, c, h, w), jnp.float32)
-                for sa in range(ity - d, ity + d + 2):
-                    wy = jnp.where(a0 == sa, 1.0 - fy,
-                                   jnp.where(a0 + 1 == sa, fy, 0.0))
-                    if mask is not None:
-                        wy = wy * m_t
-                    for sb in range(itx - d, itx + d + 2):
-                        wx = jnp.where(b0 == sb, 1.0 - fx,
-                                       jnp.where(b0 + 1 == sb, fx, 0.0))
-                        shifted = jax.lax.slice(
-                            xp, (0, 0, pad + sa, pad + sb),
-                            (n, c, pad + sa + h, pad + sb + w))
-                        tap_val = tap_val + (wy * wx)[:, None] * shifted
                 acc = acc + jnp.einsum(
-                    "nchw,co->nhwo", tap_val.astype(x.dtype),
+                    "nchw,co->nhwo", tap_vals[t],
                     kernel[t * c:(t + 1) * c],
                     preferred_element_type=jnp.float32)
             y = acc.astype(x.dtype)
@@ -260,9 +270,12 @@ CONV_BLOCKS = {
     "dcn": DeformableConvBlock,
     "deformable": DeformableConvBlock,
     # shift-decomposition DCN engines (see DeformableConvBlock docstring):
-    # offsets clamped to ±D, zero gathers — the TPU-fast path
-    "dcn_fast": _functools.partial(DeformableConvBlock, max_displacement=3),
+    # offsets clamped to ±D, zero gathers — the TPU-fast path. D=2 is the
+    # default (measured best perf on the BASELINE DCNv2 shape; the VPU
+    # term count grows as (2D+2)^2)
+    "dcn_fast": _functools.partial(DeformableConvBlock, max_displacement=2),
     "dcn_fast_d2": _functools.partial(DeformableConvBlock, max_displacement=2),
+    "dcn_fast_d3": _functools.partial(DeformableConvBlock, max_displacement=3),
     "dcn_fast_d4": _functools.partial(DeformableConvBlock, max_displacement=4),
 }
 
