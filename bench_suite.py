@@ -51,6 +51,12 @@ CONFIGS = {
                      "conv_type": "dcn_fast"},
         head_config={"width": 128, "depth": 2},
     ),
+    "resnet18_dcn_fast_d1": dict(           # D=1 speed knob: 16 shift terms
+        backbone="resnet18", neck="FPN",    # (offsets clamped ±1)
+        neck_config={"out_channels": 128,
+                     "conv_type": "dcn_fast_d1"},
+        head_config={"width": 128, "depth": 2},
+    ),
     "mobilenetv2_sep": dict(                # VOC 15.4: MobileNetV2 + sep FPN
         backbone="mobilenet_v2", neck="FPN",
         neck_config={"out_channels": 96, "conv_type": "separable"},

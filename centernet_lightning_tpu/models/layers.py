@@ -274,6 +274,10 @@ CONV_BLOCKS = {
     # default (measured best perf on the BASELINE DCNv2 shape; the VPU
     # term count grows as (2D+2)^2)
     "dcn_fast": _functools.partial(DeformableConvBlock, max_displacement=2),
+    # D=1: (2D+2)^2 = 16 shift terms instead of 36 — ~2x faster sampling
+    # for offsets clamped to ±1 (a 3x3 window refined within one pixel);
+    # the speed/semantics knob documented in docs/experiments.md
+    "dcn_fast_d1": _functools.partial(DeformableConvBlock, max_displacement=1),
     "dcn_fast_d2": _functools.partial(DeformableConvBlock, max_displacement=2),
     "dcn_fast_d3": _functools.partial(DeformableConvBlock, max_displacement=3),
     "dcn_fast_d4": _functools.partial(DeformableConvBlock, max_displacement=4),

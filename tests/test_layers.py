@@ -266,7 +266,8 @@ def test_dcn_fast_registry_entries(key, rng):
     from centernet_lightning_tpu.models.layers import CONV_BLOCKS
 
     x = jnp.asarray(rng.normal(size=(1, 4, 4, 3)).astype(np.float32))
-    for name, d in (("dcn_fast", 2), ("dcn_fast_d2", 2), ("dcn_fast_d3", 3), ("dcn_fast_d4", 4)):
+    for name, d in (("dcn_fast", 2), ("dcn_fast_d1", 1), ("dcn_fast_d2", 2),
+                    ("dcn_fast_d3", 3), ("dcn_fast_d4", 4)):
         block = CONV_BLOCKS[name](4, 3)
         assert block.max_displacement == d
         variables = block.init(key, x, train=True)

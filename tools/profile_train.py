@@ -122,7 +122,11 @@ def main():
                      "batch_stats": state.batch_stats}
         out, _ = task.model.apply(variables, imgs, train=True,
                                   mutable=["batch_stats"])
-        return jnp.sum(out["heatmap"].astype(jnp.float32)) * 1e-9
+        # sum EVERY head output: returning only the heatmap would let XLA
+        # dead-code-eliminate the box head's conv stack (~8% of the step),
+        # silently inflating the derived loss+render segment
+        return sum(jnp.sum(v.astype(jnp.float32))
+                   for v in out.values()) * 1e-9
 
     def fwd_loss_value(params, batch, i):
         imgs = (batch["image"] + i.astype(jnp.float32) * 1e-12).astype(cdt)
