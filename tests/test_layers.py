@@ -260,6 +260,29 @@ def test_dcn_shift_engine_clamps_large_offsets(key, rng):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_dcn_d1_matches_gather_engine_within_unit_bound(key, rng):
+    """`dcn_fast_d1` (the 16-term speed knob) must equal the exact gather
+    engine whenever every offset lies within [-1, 1] — the same within-bound
+    contract as D=2/3, at the tighter clamp."""
+    x = jnp.asarray(rng.normal(size=(2, 6, 8, 4)).astype(np.float32))
+    exact = DeformableConvBlock(out_channels=4, version=2,
+                                use_norm=False, act=None)
+    fast = DeformableConvBlock(out_channels=4, version=2,
+                               use_norm=False, act=None, max_displacement=1)
+    variables = exact.init(key, x, train=False)
+    params = jax.tree_util.tree_map(
+        lambda p: jnp.asarray(rng.normal(scale=0.02, size=p.shape), p.dtype),
+        variables["params"])
+    y_exact = exact.apply({"params": params}, x, train=False)
+    y_fast = fast.apply({"params": params}, x, train=False)
+    off = jax.lax.conv_general_dilated(
+        x, params["Conv_0"]["kernel"], (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + params["Conv_0"]["bias"]
+    assert float(jnp.abs(off).max()) < 1.0  # precondition for equality
+    np.testing.assert_allclose(np.asarray(y_exact), np.asarray(y_fast),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_dcn_fast_registry_entries(key, rng):
     """CONV_BLOCKS exposes the shift-engine variants for config wiring
     (neck_config conv_type: dcn_fast)."""
