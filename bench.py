@@ -76,8 +76,27 @@ def main():
         rng.integers(0, 255, size=(batch_size, 512, 512, 3), dtype=np.uint8)
     )
 
+    # BENCH_QUANT=int8: serve every conv as int8 on the MXU (quantize.py,
+    # 2x bf16 MXU rate on v5e). Calibrated on the bench batch itself; the
+    # int8 weights ride inside the variables tree as jit arguments.
+    quant = os.environ.get("BENCH_QUANT") == "int8"
+    if quant:
+        from centernet_lightning_tpu.quantize import (
+            collect_conv_scales, quantize_conv_params, quantized_apply)
+
+        calib = preprocess(images, dtype=dtype)
+        act_scales = collect_conv_scales(task.model, variables, [calib])
+        variables = dict(variables,
+                         _quant=quantize_conv_params(variables, act_scales))
+
     def forward_decode(variables, imgs):
-        out = task.model.apply(variables, imgs, train=False)
+        if quant:
+            out = quantized_apply(
+                task.model,
+                {k: v for k, v in variables.items() if k != "_quant"},
+                variables["_quant"], act_scales, imgs, train=False)
+        else:
+            out = task.model.apply(variables, imgs, train=False)
         heatmap = out["heatmap"].astype(jnp.float32)   # logits: decode
         box = out["box_2d"].astype(jnp.float32)        # applies sigmoid to k
         if use_pallas:
@@ -136,7 +155,8 @@ def main():
         print(f"baseline measurement failed: {e}", file=sys.stderr)
 
     print(json.dumps({
-        "metric": "images_per_sec_per_chip resnet34-fpn256@512x512 fwd+decode",
+        "metric": "images_per_sec_per_chip resnet34-fpn256@512x512 fwd+decode"
+                  + (" int8" if quant else ""),
         "value": round(ips, 2),
         "unit": "images/sec",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,

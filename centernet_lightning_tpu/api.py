@@ -85,13 +85,15 @@ class CenterNetPredictor:
 
         dtype = self.compute_dtype
 
+        forward = self._forward
+
         def fn(variables, images):
             if raw_uint8:
                 images = preprocess(images, mean=mean, std=std,
                                     dtype=dtype or jnp.float32)
             elif dtype is not None:
                 images = images.astype(dtype)
-            outputs = task.model.apply(variables, images, train=False)
+            outputs = forward(variables, images)
             reid = outputs.get("reid")
             return task.decode_detections(
                 outputs["heatmap"].astype(jnp.float32),
@@ -105,6 +107,42 @@ class CenterNetPredictor:
         jitted = jax.jit(fn)
         self._decode_cache[key] = jitted
         return jitted
+
+    def _forward(self, variables, images):
+        """Model forward inside the serving program (hook for the int8
+        predictor, which swaps every conv for MXU int8 math)."""
+        return self.task.model.apply(variables, images, train=False)
+
+    def _prep_calibration(self, images) -> jnp.ndarray:
+        """Preprocess a calibration batch exactly like serving inputs."""
+        images = jnp.asarray(images)
+        if images.dtype == jnp.uint8:
+            return preprocess(images, mean=self.mean, std=self.std,
+                              dtype=self.compute_dtype or jnp.float32)
+        return images.astype(self.compute_dtype) if self.compute_dtype \
+            else images
+
+    def quantize(self, calibration_images, exclude=None):
+        """Calibrate + return an int8-serving predictor (quantize.py).
+
+        calibration_images: one batch or a list of batches (uint8 raw or
+        preprocessed float, NHWC) representative of serving inputs. The
+        returned predictor has the same API; its convs run int8 on the
+        MXU (~2x bf16 rate on v5e). No reference counterpart (the
+        reference exports f32/fp16 only, tools/export.py:7-32).
+        """
+        from .quantize import (collect_conv_scales, default_exclude,
+                               quantize_conv_params)
+
+        exclude = exclude or default_exclude
+        batches = (list(calibration_images)
+                   if isinstance(calibration_images, (list, tuple))
+                   else [calibration_images])
+        prepped = [self._prep_calibration(b) for b in batches]
+        act_scales = collect_conv_scales(
+            self.task.model, self.variables, prepped, exclude=exclude)
+        qtree = quantize_conv_params(self.variables, act_scales)
+        return QuantizedCenterNetPredictor(self, qtree, act_scales, exclude)
 
     def __call__(self, images, train: bool = False):
         """Raw forward: encoded outputs dict (README.md:92-95 step 1).
@@ -329,6 +367,45 @@ class CenterNetPredictor:
                     )
             frame += n
         return out
+
+
+class QuantizedCenterNetPredictor(CenterNetPredictor):
+    """int8-serving predictor produced by CenterNetPredictor.quantize().
+
+    Same API as the float predictor; inside the jitted serving program
+    every calibrated nn.Conv runs as int8 x int8 -> int32 on the MXU
+    (quantize.py). The int8 weights + dequant scales travel INSIDE the
+    variables tree (collection "_quant") so they are jit arguments on
+    device, not constants baked into the executable; flax ignores the
+    extra collection.
+    """
+
+    def __init__(self, base: CenterNetPredictor, qtree, act_scales, exclude):
+        self.task = base.task
+        self.compute_dtype = base.compute_dtype
+        self.image_size = base.image_size
+        self.mean = base.mean
+        self.std = base.std
+        self.variables = dict(base.variables)
+        self.variables["_quant"] = qtree
+        self._act_scales = dict(act_scales)
+        self._exclude = exclude
+        self._decode_cache = {}
+
+    def _forward(self, variables, images):
+        from .quantize import quantized_apply
+
+        model_vars = {k: v for k, v in variables.items() if k != "_quant"}
+        return quantized_apply(
+            self.task.model, model_vars, variables["_quant"],
+            self._act_scales, images, exclude=self._exclude, train=False)
+
+    def __call__(self, images, train: bool = False):
+        """Raw forward (README two-step contract) in int8. train=True is
+        a float fallback: int8 serving weights carry no gradients."""
+        if train:
+            return super().__call__(images, train=True)
+        return self._forward(self.variables, images)
 
 
 def build_centernet(

@@ -1,0 +1,185 @@
+"""int8 post-training quantization (centernet_lightning_tpu/quantize.py).
+
+TPU-native serving feature with no reference counterpart (the reference
+exports f32/fp16 only, reference tools/export.py:7-32); contracts pinned
+here: exact equivalence to the hand-written symmetric-quant math, bounded
+end-to-end error vs the float model, DCN offset-conv exclusion, and the
+predictor.quantize() API.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from flax import linen as nn
+
+from centernet_lightning_tpu.quantize import (
+    collect_conv_scales,
+    default_exclude,
+    quantize_conv_params,
+    quantized_apply,
+)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture
+def key():
+    return jax.random.PRNGKey(0)
+
+
+def test_int8_conv_matches_manual_math(key, rng):
+    """quantized_apply on a single conv == the symmetric-quant math done
+    by hand in numpy (same rounding, clipping, per-channel scales)."""
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return nn.Conv(6, (3, 3), padding="SAME")(x)
+
+    m = M()
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 4)).astype(np.float32))
+    variables = m.init(key, x)
+    scales = collect_conv_scales(m, variables, [x],
+                                 apply_kwargs={"train": False})
+    assert list(scales) == ["Conv_0"]
+    qtree = quantize_conv_params(variables, scales)
+    got = quantized_apply(m, variables, qtree, scales, x, train=False)
+
+    # manual reference
+    w = np.asarray(variables["params"]["Conv_0"]["kernel"], np.float64)
+    b = np.asarray(variables["params"]["Conv_0"]["bias"], np.float64)
+    s_x = scales["Conv_0"]
+    s_w = np.maximum(np.abs(w).reshape(-1, w.shape[-1]).max(0), 1e-8) / 127.0
+    w_q = np.clip(np.round(w / s_w), -127, 127)
+    x_q = np.clip(np.round(np.asarray(x, np.float64) / s_x), -127, 127)
+    ref = jax.lax.conv_general_dilated(
+        jnp.asarray(x_q, jnp.float32), jnp.asarray(w_q, jnp.float32),
+        (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    ref = np.asarray(ref, np.float64) * (s_x * s_w) + b
+    np.testing.assert_allclose(np.asarray(got, np.float64), ref,
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_scale_is_max_abs_over_batches(key, rng):
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return nn.Conv(2, (1, 1))(x)
+
+    m = M()
+    b1 = jnp.full((1, 4, 4, 3), 2.0)
+    b2 = jnp.full((1, 4, 4, 3), -5.0)
+    variables = m.init(key, b1)
+    scales = collect_conv_scales(m, variables, [b1, b2],
+                                 apply_kwargs={"train": False})
+    np.testing.assert_allclose(scales["Conv_0"], 5.0 / 127.0, rtol=1e-6)
+
+
+def test_depthwise_and_strided_convs_quantize(key, rng):
+    """feature_group_count (separable) and stride-2 convs go through the
+    int8 path and stay numerically close."""
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.Conv(8, (3, 3), strides=(2, 2), padding="SAME",
+                        use_bias=False)(x)
+            x = nn.Conv(8, (3, 3), padding="SAME", feature_group_count=8)(x)
+            return nn.Conv(4, (1, 1))(x)
+
+    m = M()
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 3)).astype(np.float32))
+    variables = m.init(key, x)
+    scales = collect_conv_scales(m, variables, [x],
+                                 apply_kwargs={"train": False})
+    assert len(scales) == 3
+    qtree = quantize_conv_params(variables, scales)
+    got = quantized_apply(m, variables, qtree, scales, x, train=False)
+    ref = m.apply(variables, x, train=False)
+    assert got.shape == ref.shape
+    denom = float(jnp.abs(ref).max())
+    assert float(jnp.abs(got - ref).max()) / denom < 0.05
+
+
+def test_end_to_end_model_error_bounded(key, rng):
+    """Full CenterNet model: quantized raw head outputs stay within ~2%
+    relative error of the float forward (random weights, both heads)."""
+    from centernet_lightning_tpu.models.centernet import CenterNet
+
+    task = CenterNet(num_classes=4, backbone="resnet18", neck="FPN",
+                     neck_config={"out_channels": 16},
+                     head_config={"width": 16, "depth": 1})
+    variables = task.init(key, image_size=(32, 32), batch_size=1)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    scales = collect_conv_scales(task.model, variables, [x])
+    assert len(scales) > 10   # backbone + neck + heads all covered
+    qtree = quantize_conv_params(variables, scales)
+    got = quantized_apply(task.model, variables, qtree, scales, x,
+                          train=False)
+    ref = task.model.apply(variables, x, train=False)
+    # random weights are the WORST case for 8-bit per-tensor activation
+    # quant (no BN-conditioned activation statistics); trained nets sit
+    # well inside this. Measured ~2.3% here.
+    for head in ("heatmap", "box_2d"):
+        denom = float(jnp.abs(ref[head]).max()) + 1e-6
+        rel = float(jnp.abs(got[head] - ref[head]).max()) / denom
+        assert rel < 0.05, (head, rel)
+
+
+def test_dcn_offset_convs_excluded(key, rng):
+    """default_exclude keeps the DCN offset/modulation convs in float:
+    no calibration entry may point inside a DeformableConvBlock."""
+    from centernet_lightning_tpu.models.centernet import CenterNet
+
+    task = CenterNet(num_classes=2, backbone="resnet18", neck="FPN",
+                     neck_config={"out_channels": 16,
+                                  "conv_type": "dcn_fast"},
+                     head_config={"width": 16, "depth": 1})
+    variables = task.init(key, image_size=(32, 32), batch_size=1)
+    x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)).astype(np.float32))
+    scales = collect_conv_scales(task.model, variables, [x])
+    assert scales, "non-DCN convs must still calibrate"
+    assert not any("DeformableConv" in k for k in scales)
+    # and the quantized forward still runs through the DCN neck
+    qtree = quantize_conv_params(variables, scales)
+    out = quantized_apply(task.model, variables, qtree, scales, x,
+                          train=False)
+    assert out["heatmap"].shape[0] == 1
+
+
+def test_predictor_quantize_api(key, rng):
+    """predictor.quantize(): same serving API, uint8 ingestion, decode
+    shapes intact, and the raw two-step __call__ contract runs int8."""
+    from centernet_lightning_tpu.api import (CenterNetPredictor,
+                                             QuantizedCenterNetPredictor)
+    from centernet_lightning_tpu.models.centernet import CenterNet
+
+    task = CenterNet(num_classes=3, backbone="resnet18", neck="FPN",
+                     neck_config={"out_channels": 16},
+                     head_config={"width": 16, "depth": 1},
+                     num_detections=7)
+    variables = task.init(key, image_size=(32, 32), batch_size=1)
+    pred = CenterNetPredictor(task, variables, image_size=(32, 32))
+    imgs = rng.integers(0, 255, size=(2, 32, 32, 3), dtype=np.uint8)
+    qpred = pred.quantize(imgs)
+    assert isinstance(qpred, QuantizedCenterNetPredictor)
+    assert qpred._act_scales
+
+    out = qpred.gather_detection2d(imgs)
+    assert out["bboxes"].shape == (2, 7, 4)
+    assert out["scores"].shape == (2, 7)
+
+    # scores of the float and int8 predictors agree closely (scores are
+    # sigmoids; boxes can swap ranks on random weights, so compare the
+    # score vector only, at the random-weight worst-case tolerance)
+    ref = pred.gather_detection2d(imgs)
+    np.testing.assert_allclose(out["scores"], ref["scores"], atol=3e-2)
+
+    # two-step contract: encoded dict from the int8 raw forward decodes
+    encoded = qpred(jnp.asarray(pred._prep_calibration(imgs)))
+    two_step = qpred.gather_detection2d(
+        {k: v for k, v in encoded.items()})
+    assert two_step["bboxes"].shape == (2, 7, 4)
