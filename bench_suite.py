@@ -103,8 +103,24 @@ def bench_config(name: str, kwargs: dict, batch_size: int, on_tpu: bool):
     images = jnp.asarray(
         rng.integers(0, 255, size=(batch_size, h, w, 3), dtype=np.uint8))
 
+    # BENCH_QUANT=int8: every conv as int8 on the MXU (same leg as bench.py)
+    quant = os.environ.get("BENCH_QUANT") == "int8"
+    if quant:
+        from centernet_lightning_tpu.quantize import (
+            collect_conv_scales, quantize_conv_params, quantized_apply)
+
+        calib = preprocess(images, dtype=dtype)
+        act_scales = collect_conv_scales(task.model, variables, [calib])
+        variables = dict(variables,
+                         _quant=quantize_conv_params(variables, act_scales))
+
     def forward_decode(variables, imgs):
-        out = task.model.apply(variables, imgs, train=False)
+        if quant:
+            model_vars = {k: v for k, v in variables.items() if k != "_quant"}
+            out = quantized_apply(task.model, model_vars, variables["_quant"],
+                                  act_scales, imgs, train=False)
+        else:
+            out = task.model.apply(variables, imgs, train=False)
         heatmap = out["heatmap"].astype(jnp.float32)
         box = out["box_2d"].astype(jnp.float32)
         if "reid" in out:
@@ -139,6 +155,7 @@ def bench_config(name: str, kwargs: dict, batch_size: int, on_tpu: bool):
         "batch_size": batch_size,
         "params_m": round(n_params / 1e6, 1),
         "dtype": str(dtype.__name__ if hasattr(dtype, "__name__") else dtype),
+        **({"quant": "int8"} if quant else {}),
     }
 
 

@@ -76,3 +76,39 @@ def test_validate_cli_end_to_end(synthetic_coco, tmp_path):
     assert isinstance(results, list)
     assert all({"image_id", "category_id", "bbox", "score"} <= set(r)
                for r in results)
+
+
+def test_validate_cli_int8(synthetic_coco, tmp_path):
+    """--quantize N calibrates on N val batches and serves int8
+    (predictor.quantize()); same 12-metric contract as the float path."""
+    import jax
+
+    from centernet_lightning_tpu.models.centernet import CenterNet
+    from centernet_lightning_tpu.train.checkpoint import save_checkpoint
+
+    task = CenterNet(num_classes=1, backbone="resnet18", neck="FPN",
+                     neck_config={"out_channels": 16},
+                     head_config={"width": 8, "depth": 1}, num_detections=5)
+    variables = task.init(jax.random.PRNGKey(0), image_size=(64, 64))
+    ckpt_dir = str(tmp_path / "ckpt")
+    save_checkpoint(
+        ckpt_dir,
+        {"params": jax.device_get(variables["params"]),
+         "batch_stats": jax.device_get(variables.get("batch_stats", {})),
+         "step": 0},
+        hparams=task.hparams, step=0)
+
+    img_dir, ann = synthetic_coco
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "validate.py"),
+         "--checkpoint", ckpt_dir, "--img-dir", img_dir, "--ann-json", ann,
+         "--batch-size", "2", "--image-size", "64", "--num-detections", "5",
+         "--quantize", "1", "--platform", "cpu"],
+        capture_output=True, text=True, timeout=600, cwd=repo,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "int8 serving: calibrated on 1 batches" in out.stderr
+    metrics = json.loads(out.stdout.strip().splitlines()[-1])
+    assert len(metrics) == 12
+    assert all(-1.0 <= v <= 1.0 for v in metrics.values())

@@ -29,6 +29,10 @@ def main():
     parser.add_argument("--save-results", default=None,
                         help="also write a COCO results-format json of the "
                              "predictions (reference eval/utils.py:83)")
+    parser.add_argument("--quantize", type=int, default=0, metavar="N",
+                        help="serve in int8: calibrate activation scales on "
+                             "the first N val batches, then evaluate with "
+                             "the MXU-int8 predictor (predictor.quantize())")
     parser.add_argument("--platform", default=None,
                         help="force a jax platform (e.g. cpu); the "
                              "JAX_PLATFORMS env var is unreliable with "
@@ -62,6 +66,16 @@ def main():
     ds = CocoDetection(args.img_dir, args.ann_json, transforms=tf)
     loader = build_dataloader(ds, batch_size=args.batch_size, shuffle=False,
                               num_workers=4, max_boxes=128, drop_last=False)
+
+    if args.quantize > 0:
+        calib = []
+        for batch in loader:
+            calib.append(jnp.asarray(batch["image"]))
+            if len(calib) >= args.quantize:
+                break
+        predictor = predictor.quantize(calib)
+        print(f"int8 serving: calibrated on {len(calib)} batches",
+              file=sys.stderr)
 
     evaluator = CocoEvaluator(predictor.task.num_classes)
     all_image_ids = []
