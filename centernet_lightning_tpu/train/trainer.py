@@ -58,6 +58,10 @@ class Trainer:
         diagnostics: bool = True,          # heatmap-grid image at fit start
         finetune_from: Optional[str] = None,  # partial weight restore
         logger_config: Optional[Dict[str, Any]] = None,  # backend selection
+        accumulate_grad_batches: int = 1,  # Lightning trainer key: optimizer
+                                           # updates every k micro-batches
+                                           # (optax.MultiSteps — one jitted
+                                           # program either way)
     ):
         self.task = task
         self.train_loader = train_loader
@@ -116,6 +120,11 @@ class Trainer:
         opt_cfg = dict(optimizer_config or task.optimizer_config or {})
         opt_cfg.pop("jit", None)  # always jitted here
         steps_per_epoch = len(train_loader) if train_loader else 1
+        self.accumulate = max(1, int(accumulate_grad_batches))
+        if self.accumulate > 1:
+            # the LR schedule counts OPTIMIZER updates (the inner tx only
+            # steps every k micro-batches), so the per-epoch horizon shrinks
+            steps_per_epoch = max(1, steps_per_epoch // self.accumulate)
         rng = jax.random.PRNGKey(seed)
         variables = task.init(rng, image_size=self.image_size)
         if finetune_from:
@@ -129,6 +138,14 @@ class Trainer:
             variables["params"], max_epochs=max_epochs,
             steps_per_epoch=steps_per_epoch, **opt_cfg,
         )
+        if self.accumulate > 1:
+            # mean-of-k-micro-grads, applied every k-th step; clipping (inside
+            # the chain) acts on the accumulated gradient like Lightning's
+            import optax
+
+            self.tx = optax.MultiSteps(
+                self.tx, every_k_schedule=self.accumulate
+            ).gradient_transformation()
         self.state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=variables["params"],

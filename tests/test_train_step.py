@@ -120,6 +120,56 @@ def test_train_step_loss_decreases(rng):
     assert int(state.step) == 15
 
 
+def test_accumulate_grad_batches_contract(rng):
+    """Lightning's accumulate_grad_batches via optax.MultiSteps: params are
+    FROZEN on non-final micro-steps and move only on every k-th, while
+    step/batch_stats advance every micro-step."""
+    import optax
+
+    task = tiny_task()
+    variables = task.init(jax.random.PRNGKey(0), image_size=(IMG, IMG))
+    from centernet_lightning_tpu.train.state import TrainState
+
+    inner = make_optimizer(variables["params"], optimizer="SGD", lr=1e-2,
+                           weight_decay=0.0, max_epochs=1, steps_per_epoch=2,
+                           warmup_epochs=0)
+    tx = optax.MultiSteps(inner, every_k_schedule=2).gradient_transformation()
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params=variables["params"],
+                       batch_stats=variables.get("batch_stats", {}),
+                       opt_state=tx.init(variables["params"]), tx=tx)
+    step_fn = make_train_step(task, donate=False)
+
+    p0 = jax.device_get(state.params)
+    state, _ = step_fn(state, tiny_batch(rng))
+    p1 = jax.device_get(state.params)
+    for a, b in zip(jax.tree_util.tree_leaves(p0),
+                    jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_array_equal(a, b)  # mid-accumulation: no update
+    assert int(state.step) == 1
+
+    state, _ = step_fn(state, tiny_batch(rng))
+    p2 = jax.device_get(state.params)
+    moved = sum(
+        float(np.abs(a - b).max()) > 0
+        for a, b in zip(jax.tree_util.tree_leaves(p1),
+                        jax.tree_util.tree_leaves(p2)))
+    assert moved > 0  # k-th micro-step applies the accumulated update
+    assert int(state.step) == 2
+
+
+def test_trainer_wires_accumulation():
+    """Trainer(accumulate_grad_batches=k) must wrap the optimizer (opt_state
+    grows MultiSteps counters) — the train.py `trainer:` key path."""
+    from centernet_lightning_tpu.train.trainer import Trainer
+
+    task = tiny_task()
+    trainer = Trainer(task, max_epochs=1, image_size=(IMG, IMG),
+                      accumulate_grad_batches=2, diagnostics=False)
+    assert trainer.accumulate == 2
+    assert hasattr(trainer.state.opt_state, "mini_step")
+
+
 def test_train_step_data_parallel_mesh(rng):
     assert jax.device_count() == 8, "conftest must provide 8 virtual devices"
     mesh = create_mesh(n_data=4, n_model=2)

@@ -95,6 +95,8 @@ def main():
         profile=args.profile,
         tracker_config=config.get("tracker", {}),
         precision=trainer_cfg.get("precision"),
+        accumulate_grad_batches=int(
+            trainer_cfg.get("accumulate_grad_batches", 1)),
         finetune_from=(model_cfg.get("load_from_checkpoint")
                        or model_cfg.get("finetune_from")),
         logger_config=_parse_logger_config(trainer_cfg.get("logger")),
