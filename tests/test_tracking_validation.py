@@ -104,8 +104,9 @@ def test_validate_tracking_resets_at_sequence_boundaries(monkeypatch):
         def update(self, *a, **k):
             events.append("update")
             out = super().update(*a, **k)
-            seen_per_seq.setdefault(current["seq"], set()).update(
-                id(t) for t in self.tracks)
+            # hold the Track OBJECTS (identity set), not id()s: a GC'd
+            # seq-A track can otherwise alias a new seq-B track's address
+            seen_per_seq.setdefault(current["seq"], set()).update(self.tracks)
             return out
 
     monkeypatch.setattr(trainer_mod, "Tracker", SpyTracker)
