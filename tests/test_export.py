@@ -50,6 +50,35 @@ def test_stablehlo_export_roundtrip(tmp_path):
     )
 
 
+def test_stablehlo_export_int8(tmp_path):
+    """The quantized predictor exports the SAME int8 serving program it runs
+    in-process (tools/export.py --quantize-calibrate): round-trip parity."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from export import export_stablehlo, make_serving_fn
+    from jax import export as jax_export
+
+    rng = np.random.default_rng(3)
+    calib = rng.integers(0, 255, size=(2, 64, 64, 3), dtype=np.uint8)
+    predictor = build_centernet({"model": TINY}).quantize(calib)
+    out_path = str(tmp_path / "model_int8.stablehlo")
+    export_stablehlo(predictor, out_path, batch_size=1, height=64, width=64)
+
+    restored = jax_export.deserialize(open(out_path, "rb").read())
+    imgs = rng.integers(0, 255, size=(1, 64, 64, 3), dtype=np.uint8)
+    ref_fn, _ = make_serving_fn(predictor, 1, 64, 64)
+    ref = jax.jit(ref_fn)(jnp.asarray(imgs))
+    got = restored.call(jnp.asarray(imgs))
+    np.testing.assert_allclose(
+        np.asarray(got["scores"]), np.asarray(ref["scores"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["boxes"]), np.asarray(ref["boxes"]), rtol=1e-4, atol=1e-4
+    )
+    # the artifact really carries int8 math, not a dequantized float copy
+    assert "i8" in restored.mlir_module()
+
+
 def test_onnx_export_leg(tmp_path):
     """--format onnx: full format parity with the reference
     (tools/export.py:14-20) where tf2onnx is importable; in this image

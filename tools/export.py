@@ -139,6 +139,13 @@ def main():
     parser.add_argument("--width", type=int, default=512)
     parser.add_argument("--opset", type=int, default=13,
                         help="ONNX opset (reference exported opset 11)")
+    parser.add_argument("--quantize-calibrate", metavar="IMG_DIR",
+                        help="export the int8-serving program instead of "
+                             "float: calibrate activation scales on images "
+                             "from this folder (predictor.quantize()); the "
+                             "artifact carries int8 conv weights")
+    parser.add_argument("--quantize-images", type=int, default=32,
+                        help="max calibration images read from the folder")
     args = parser.parse_args()
 
     if args.torch_ckpt and not args.config:
@@ -156,6 +163,20 @@ def main():
     predictor = build_centernet(source, checkpoint=args.checkpoint
                                 if args.config else None,
                                 torch_ckpt=args.torch_ckpt)
+    if args.quantize_calibrate:
+        import numpy as np
+
+        from centernet_lightning_tpu.data.inference import InferenceDataset
+
+        ds = InferenceDataset(args.quantize_calibrate,
+                              resize=(args.height, args.width))
+        n = min(len(ds), args.quantize_images)
+        if n == 0:
+            parser.error(f"no images found in {args.quantize_calibrate}")
+        batch = np.stack([ds[i]["image"] for i in range(n)]).astype(np.uint8)
+        predictor = predictor.quantize(batch)
+        print(f"int8: calibrated on {n} images from "
+              f"{args.quantize_calibrate}")
     if args.format == "stablehlo":
         export_stablehlo(predictor, args.output, args.batch_size,
                          args.height, args.width)
