@@ -81,20 +81,14 @@ def main():
     # int8 weights ride inside the variables tree as jit arguments.
     quant = os.environ.get("BENCH_QUANT") == "int8"
     if quant:
-        from centernet_lightning_tpu.quantize import (
-            collect_conv_scales, quantize_conv_params, quantized_apply)
+        from centernet_lightning_tpu.quantize import quantize_model
 
-        calib = preprocess(images, dtype=dtype)
-        act_scales = collect_conv_scales(task.model, variables, [calib])
-        variables = dict(variables,
-                         _quant=quantize_conv_params(variables, act_scales))
+        quant_forward, variables = quantize_model(
+            task.model, variables, [preprocess(images, dtype=dtype)])
 
     def forward_decode(variables, imgs):
         if quant:
-            out = quantized_apply(
-                task.model,
-                {k: v for k, v in variables.items() if k != "_quant"},
-                variables["_quant"], act_scales, imgs, train=False)
+            out = quant_forward(variables, imgs, train=False)
         else:
             out = task.model.apply(variables, imgs, train=False)
         heatmap = out["heatmap"].astype(jnp.float32)   # logits: decode

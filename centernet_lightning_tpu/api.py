@@ -131,24 +131,28 @@ class CenterNetPredictor:
         MXU (~2x bf16 rate on v5e). No reference counterpart (the
         reference exports f32/fp16 only, tools/export.py:7-32).
         """
-        from .quantize import (collect_conv_scales, default_exclude,
-                               quantize_conv_params)
+        from .quantize import default_exclude, quantize_model
 
         exclude = exclude or default_exclude
         batches = (list(calibration_images)
                    if isinstance(calibration_images, (list, tuple))
                    else [calibration_images])
         prepped = [self._prep_calibration(b) for b in batches]
-        act_scales = collect_conv_scales(
+        forward_fn, quant_variables = quantize_model(
             self.task.model, self.variables, prepped, exclude=exclude)
-        qtree = quantize_conv_params(self.variables, act_scales)
-        return QuantizedCenterNetPredictor(self, qtree, act_scales, exclude)
+        return QuantizedCenterNetPredictor(self, forward_fn, quant_variables)
 
     def __call__(self, images, train: bool = False):
         """Raw forward: encoded outputs dict (README.md:92-95 step 1).
         train=True routes through task.apply (mutable batch_stats) and
         returns (outputs, mutated_variables) like flax does."""
-        return self.task.apply(self.variables, images, train=train)
+        if train:
+            return self.task.apply(self.variables, images, train=True)
+        # jit per instance: an eager apply dispatches every op individually
+        # (~20ms each over the axon tunnel)
+        if getattr(self, "_raw_forward_jit", None) is None:
+            self._raw_forward_jit = jax.jit(self._forward)
+        return self._raw_forward_jit(self.variables, images)
 
     def gather_detection2d(self, images, num_detections: Optional[int] = None,
                            nms_kernel: Optional[int] = None,
@@ -380,32 +384,20 @@ class QuantizedCenterNetPredictor(CenterNetPredictor):
     extra collection.
     """
 
-    def __init__(self, base: CenterNetPredictor, qtree, act_scales, exclude):
-        self.task = base.task
-        self.compute_dtype = base.compute_dtype
-        self.image_size = base.image_size
-        self.mean = base.mean
-        self.std = base.std
-        self.variables = dict(base.variables)
-        self.variables["_quant"] = qtree
-        self._act_scales = dict(act_scales)
-        self._exclude = exclude
-        self._decode_cache = {}
+    def __init__(self, base: CenterNetPredictor, forward_fn, quant_variables):
+        # delegate so the classes stay in lockstep as the base gains state;
+        # compute_dtype=None because base.variables are already cast
+        super().__init__(base.task, quant_variables,
+                         image_size=base.image_size, mean=base.mean,
+                         std=base.std, compute_dtype=None)
+        self.compute_dtype = base.compute_dtype  # honored in _decode_fn
+        self._quant_forward = forward_fn
 
     def _forward(self, variables, images):
-        from .quantize import quantized_apply
-
-        model_vars = {k: v for k, v in variables.items() if k != "_quant"}
-        return quantized_apply(
-            self.task.model, model_vars, variables["_quant"],
-            self._act_scales, images, exclude=self._exclude, train=False)
-
-    def __call__(self, images, train: bool = False):
-        """Raw forward (README two-step contract) in int8. train=True is
-        a float fallback: int8 serving weights carry no gradients."""
-        if train:
-            return super().__call__(images, train=True)
-        return self._forward(self.variables, images)
+        """int8 forward — both the jitted serving program (_decode_fn) and
+        the two-step __call__ (train=False) route through here; train=True
+        stays a float fallback (int8 weights carry no gradients)."""
+        return self._quant_forward(variables, images, train=False)
 
 
 def build_centernet(

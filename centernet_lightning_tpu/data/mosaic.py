@@ -54,13 +54,17 @@ class MosaicDataset:
             sample = dict(self.dataset[idx])
             img = sample["image"]
             if img.shape[:2] != (self.out_h, self.out_w):
-                scale = np.array([
-                    self.out_w / img.shape[1], self.out_h / img.shape[0],
-                    self.out_w / img.shape[1], self.out_h / img.shape[0],
-                ], np.float32)
+                sx = self.out_w / img.shape[1]
+                sy = self.out_h / img.shape[0]
+                scale = np.array([sx, sy, sx, sy], np.float32)
                 sample["image"] = cv2.resize(img, (self.out_w, self.out_h))
                 if len(sample["bboxes"]):
                     sample["bboxes"] = sample["bboxes"] * scale
+                if "area" in sample and len(sample["area"]):
+                    # annotation area lives in the coordinate space of the
+                    # boxes (pycocotools GT area-range source)
+                    sample["area"] = np.asarray(
+                        sample["area"], np.float32) * (sx * sy)
             return self._finish(sample)
 
         H, W = self.out_h, self.out_w
@@ -72,7 +76,8 @@ class MosaicDataset:
         indices = [idx] + [int(rng.integers(0, len(self.dataset)))
                            for _ in range(3)]
         boxes_all, labels_all, ids_all = [], [], []
-        has_ids = None
+        area_all, crowd_all = [], []
+        has_ids = has_area = has_crowd = None
         # quadrant regions: (x1, y1, x2, y2) on the canvas
         regions = [(0, 0, cx, cy), (cx, 0, 2 * W, cy),
                    (0, cy, cx, 2 * H), (cx, cy, 2 * W, 2 * H)]
@@ -87,6 +92,8 @@ class MosaicDataset:
             canvas[ry1:ry2, rx1:rx2] = resized
             if has_ids is None:
                 has_ids = "ids" in item
+                has_area = "area" in item
+                has_crowd = "iscrowd" in item
             boxes = np.asarray(item["bboxes"], np.float32).reshape(-1, 4)
             if len(boxes):
                 sx, sy = rw / img.shape[1], rh / img.shape[0]
@@ -97,6 +104,12 @@ class MosaicDataset:
                 labels_all.append(np.asarray(item["labels"]))
                 if has_ids:
                     ids_all.append(np.asarray(item["ids"]))
+                if has_area:
+                    # annotation area scales with the coordinate space
+                    area_all.append(
+                        np.asarray(item["area"], np.float32) * (sx * sy))
+                if has_crowd:
+                    crowd_all.append(np.asarray(item["iscrowd"], np.int64))
 
         boxes = (np.concatenate(boxes_all) if boxes_all
                  else np.zeros((0, 4), np.float32))
@@ -104,12 +117,18 @@ class MosaicDataset:
                   else np.zeros((0,), np.int64))
         ids = (np.concatenate(ids_all) if ids_all
                else np.zeros((0,), np.int64))
+        areas = (np.concatenate(area_all) if area_all
+                 else np.zeros((0,), np.float32))
+        crowds = (np.concatenate(crowd_all) if crowd_all
+                  else np.zeros((0,), np.int64))
 
         # canvas (2H, 2W) -> (H, W)
         image = cv2.resize(canvas, (W, H))
         boxes = boxes * 0.5
+        areas = areas * 0.25
         # clip + filter tiny remnants
         if len(boxes):
+            unclipped = np.maximum(boxes[:, 2] * boxes[:, 3], 1e-6)
             x2 = np.clip(boxes[:, 0] + boxes[:, 2], 0, W)
             y2 = np.clip(boxes[:, 1] + boxes[:, 3], 0, H)
             boxes[:, 0] = np.clip(boxes[:, 0], 0, W)
@@ -117,11 +136,21 @@ class MosaicDataset:
             boxes[:, 2] = x2 - boxes[:, 0]
             boxes[:, 3] = y2 - boxes[:, 1]
             keep = (boxes[:, 2] > self.min_box_side) & (boxes[:, 3] > self.min_box_side)
+            if len(areas):
+                # shrink annotation area by the visible-box fraction
+                areas = areas * (boxes[:, 2] * boxes[:, 3] / unclipped)
+                areas = areas[keep]
             boxes, labels = boxes[keep], labels[keep]
             if len(ids):
                 ids = ids[keep]
+            if len(crowds):
+                crowds = crowds[keep]
 
         sample = {"image": image, "bboxes": boxes, "labels": labels}
         if has_ids:
             sample["ids"] = ids
+        if has_area:
+            sample["area"] = areas
+        if has_crowd:
+            sample["iscrowd"] = crowds
         return self._finish(sample)

@@ -199,6 +199,16 @@ class DeformableConvBlock(nn.Module):
             # padding reproduces torchvision's zero outside-image sampling.
             from ..ops import pallas_dcn
 
+            if k != 3:
+                # both shift engines hardcode 3x3 tap geometry (pad = d+2,
+                # shift range [tap-d, tap+d+1] with taps in ±1); a larger
+                # kernel would silently slice out of the padded map. The
+                # reference's DCN is strictly 3x3 (torchvision DeformConv2d,
+                # reference layers.py:9-38) — use the exact gather engine
+                # (max_displacement=None) for other sizes.
+                raise ValueError(
+                    f"dcn_fast shift engines support kernel_size=3 only "
+                    f"(got {k}); use conv_type 'dcn' for other sizes")
             d = int(self.max_displacement)
             pad = d + 2  # covers shift range [tap-d, tap+d+1], taps in ±1
             xt = jnp.transpose(x, (0, 3, 1, 2))             # (N, C, H, W)

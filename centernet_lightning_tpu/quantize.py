@@ -48,6 +48,7 @@ __all__ = [
     "collect_conv_scales",
     "quantize_conv_params",
     "quantized_apply",
+    "quantize_model",
     "default_exclude",
 ]
 
@@ -200,3 +201,29 @@ def quantized_apply(
 
     with nn.intercept_methods(interceptor):
         return model.apply(variables, images, **apply_kwargs)
+
+
+def quantize_model(model: nn.Module, variables: Dict[str, Any],
+                   calibration_batches: Sequence[jnp.ndarray],
+                   exclude: Callable = default_exclude):
+    """One-call calibrate + quantize: returns (forward_fn, quant_variables).
+
+    `quant_variables` is the model variables dict plus a "_quant" collection
+    (int8 weights + dequant scales) so the int8 weights travel as jit
+    arguments instead of baked constants; `forward_fn(quant_variables,
+    images, **kw)` strips that collection and applies the model with every
+    calibrated conv in int8. Single source of the serving contract for the
+    predictor (api.py) and the bench legs (bench.py / bench_suite.py).
+    """
+    act_scales = collect_conv_scales(model, variables,
+                                     calibration_batches, exclude=exclude)
+    qtree = quantize_conv_params(variables, act_scales)
+    quant_variables = dict(variables, _quant=qtree)
+
+    def forward_fn(variables, images, **apply_kwargs):
+        model_vars = {k: v for k, v in variables.items() if k != "_quant"}
+        return quantized_apply(model, model_vars, variables["_quant"],
+                               act_scales, images, exclude=exclude,
+                               **apply_kwargs)
+
+    return forward_fn, quant_variables

@@ -267,10 +267,23 @@ def test_mosaic_dataset(coco_dir):
     if len(b):
         assert (b[:, 0] >= 0).all() and (b[:, 0] + b[:, 2] <= 64 + 1e-4).all()
         assert (b[:, 2] > 2).all() and (b[:, 3] > 2).all()
+    # mosaic samples keep the eval-only columns aligned with the boxes
+    if len(b):
+        assert len(item["area"]) == len(b) == len(item["iscrowd"])
+        # area stays proportionate to the transformed boxes (annotation
+        # area <= box w*h for real masks; equal here since coco fixture
+        # uses box-area annotations)
+        np.testing.assert_allclose(item["area"], b[:, 2] * b[:, 3],
+                                   rtol=0.2)
     # p=0 path: plain resized sample
     ds0 = MosaicDataset(base, out_h=48, out_w=48, p=0.0, seed=0)
     item = ds0[0]
     assert item["image"].shape == (48, 48, 3)
+    # passthrough rescales annotation area with the coordinate space
+    if len(item["bboxes"]):
+        np.testing.assert_allclose(
+            item["area"], item["bboxes"][:, 2] * item["bboxes"][:, 3],
+            rtol=0.2)
 
 
 def test_builder_with_mosaic(coco_dir):

@@ -298,6 +298,21 @@ def test_dcn_fast_registry_entries(key, rng):
         assert y.shape == (1, 4, 4, 4)
 
 
+def test_dcn_fast_rejects_non_3x3(key, rng):
+    """The shift engines hardcode 3x3 tap geometry; kernel_size=5 must be
+    an explicit error pointing at the gather engine, not a silent
+    out-of-bounds slice."""
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 3)).astype(np.float32))
+    block = DeformableConvBlock(out_channels=4, kernel_size=5,
+                                max_displacement=2)
+    with pytest.raises(ValueError, match="kernel_size=3 only"):
+        block.init(key, x, train=True)
+    # the exact gather engine handles 5x5 fine
+    block = DeformableConvBlock(out_channels=4, kernel_size=5)
+    variables = block.init(key, x, train=True)
+    assert block.apply(variables, x, train=False).shape == (1, 8, 8, 4)
+
+
 def test_dcn_shift_engine_is_differentiable(key, rng):
     """Training path: gradients flow through the shift engine to input,
     offsets, mask and kernel (the gather engine's autodiff equivalent)."""

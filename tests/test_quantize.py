@@ -166,7 +166,7 @@ def test_predictor_quantize_api(key, rng):
     imgs = rng.integers(0, 255, size=(2, 32, 32, 3), dtype=np.uint8)
     qpred = pred.quantize(imgs)
     assert isinstance(qpred, QuantizedCenterNetPredictor)
-    assert qpred._act_scales
+    assert qpred.variables["_quant"]  # int8 weights ride as jit arguments
 
     out = qpred.gather_detection2d(imgs)
     assert out["bboxes"].shape == (2, 7, 4)

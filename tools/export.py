@@ -109,13 +109,17 @@ def export_onnx(predictor, output: str, batch_size: int = 1,
                          name="images")
     try:
         converted = jax2tf.convert(serve, native_serialization=False)
-    except Exception:
-        # newer jax2tf may only support native serialization; tf2onnx can
-        # not see through the StableHLO custom call, so fail honestly
+    except (NotImplementedError, ValueError) as exc:
+        # newer jax2tf may reject non-native serialization outright; tf2onnx
+        # cannot see through the StableHLO custom call, so fail honestly —
+        # but keep the original error chained so other failures (op not
+        # convertible, version skew) aren't misdiagnosed
         raise RuntimeError(
-            "this jax2tf build only supports native serialization, which "
-            "tf2onnx cannot convert; export --format savedmodel and use a "
-            "TF->ONNX path that understands XlaCallModule instead")
+            "jax2tf.convert(native_serialization=False) failed (original "
+            f"error above: {exc}); if this build only supports native "
+            "serialization, tf2onnx cannot convert the XlaCallModule — "
+            "export --format savedmodel and convert offline instead"
+        ) from exc
     tf_fn = tf.function(converted, input_signature=[spec], autograph=False)
     model_proto, _ = tf2onnx.convert.from_function(
         tf_fn, input_signature=[spec], opset=opset, output_path=output)
