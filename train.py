@@ -34,7 +34,16 @@ def main():
     parser.add_argument("--multihost", action="store_true",
                         help="call jax.distributed.initialize() for multi-host "
                              "TPU pods (coordinator from env/TPU metadata)")
+    parser.add_argument("--platform", default=None,
+                        help="force a jax platform (e.g. cpu for smoke runs; "
+                             "the JAX_PLATFORMS env var is unreliable with "
+                             "out-of-tree plugins)")
     args = parser.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     if args.multihost:
         import jax
