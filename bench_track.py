@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""End-to-end tracking serving benchmark: frames/sec through the full
+FairMOT pipeline — device forward + top-k/embedding gather, D2H of the
+top-k arrays only, and the host's two-stage Hungarian association —
+software-pipelined exactly as `CenterNetPredictor.track_stream` serves it
+(the device forward of batch i+1 is in flight while the host associates
+batch i).
+
+Model shape = the reference's MOT17 recipe (configs/mot_tracking.yaml):
+ResNet-34 FPN-256, 1-class + 64-dim ReID head, 608x1088 frames, 300
+detections, detection_threshold 0.3 (reference models/tracker.py:45-56).
+
+Prints ONE JSON line. Unlike bench.py's pure-device slope method, this is
+wall-clock over many DISTINCT frame batches (distinct inputs defeat the
+axon tunnel's dispatch cache; the numpy readback of each batch's top-k
+arrays forces its completion), because the host association is real work
+that a device-only loop cannot represent. The per-batch ~20 ms tunnel
+dispatch latency is amortized over BENCH_BATCH frames and is part of the
+serving reality measured here.
+
+    BENCH_BATCH=8 python bench_track.py          # on the TPU
+    BENCH_QUANT=int8 python bench_track.py       # int8 serving leg
+"""
+import json
+import os
+import time
+
+import numpy as np
+
+
+def synth_frames(n_frames, h, w, n_objects=24, seed=0):
+    """Moving bright rectangles on noise — gives the tracker real
+    association work and the decode non-degenerate peaks."""
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(10, 50, (n_frames, h, w, 3), dtype=np.uint8)
+    x = rng.uniform(0, w - 64, n_objects)
+    y = rng.uniform(0, h - 64, n_objects)
+    vx = rng.uniform(-4, 4, n_objects)
+    vy = rng.uniform(-4, 4, n_objects)
+    bw = rng.integers(24, 64, n_objects)
+    bh = rng.integers(24, 64, n_objects)
+    color = rng.integers(120, 255, (n_objects, 3))
+    for f in range(n_frames):
+        for i in range(n_objects):
+            xi = int(x[i] + f * vx[i]) % (w - int(bw[i]))
+            yi = int(y[i] + f * vy[i]) % (h - int(bh[i]))
+            frames[f, yi:yi + bh[i], xi:xi + bw[i]] = color[i]
+    return frames
+
+
+def main():
+    import jax
+
+    from centernet_lightning_tpu.api import CenterNetPredictor
+    from centernet_lightning_tpu.models.fairmot import FairMOT
+    from centernet_lightning_tpu.utils.compilation_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
+    on_tpu = jax.devices()[0].platform != "cpu"
+    batch_size = int(os.environ.get("BENCH_BATCH", 8 if on_tpu else 2))
+    n_frames = int(os.environ.get("BENCH_FRAMES",
+                                  40 * batch_size if on_tpu else 2 * batch_size))
+    h, w = (608, 1088) if on_tpu else (128, 160)
+
+    task = FairMOT(
+        num_classes=1, backbone="resnet34", neck="FPN",
+        neck_config={"out_channels": 256},
+        head_config={"width": 256, "depth": 1},
+        num_detections=300, image_size=(h, w),
+        reid_config={"emb_dim": 64, "max_track_ids": 2900,
+                     "width": 256, "depth": 1},
+    )
+    variables = task.init(jax.random.PRNGKey(0))
+    predictor = CenterNetPredictor(
+        task, variables, image_size=(h, w),
+        compute_dtype="bfloat16" if on_tpu else "float32")
+
+    frames = synth_frames(n_frames, h, w)
+    if os.environ.get("BENCH_QUANT") == "int8":
+        predictor = predictor.quantize(frames[:batch_size])
+        leg = "int8"
+    else:
+        leg = "bf16" if on_tpu else "f32"
+
+    tracker_cfg = {"detection_threshold": 0.3, "num_detections": 300,
+                   "min_birth_age": 1}
+
+    def batches(arr):
+        for s in range(0, len(arr), batch_size):
+            chunk = arr[s:s + batch_size]
+            if len(chunk) < batch_size:
+                break
+            yield chunk, len(chunk)
+
+    def run(arr):
+        t0 = time.perf_counter()
+        dets = tracks = n = 0
+        for step in predictor.track_stream(batches(arr),
+                                           tracker_config=tracker_cfg):
+            dets += step["num_detections"]
+            tracks += len(step["track_ids"])
+            n += 1
+        return time.perf_counter() - t0, n, dets / max(n, 1), tracks / max(n, 1)
+
+    run(frames[:2 * batch_size])  # compile + warm both pipeline stages
+    elapsed, n, dets_pf, tracks_pf = run(frames)
+    fps = n / elapsed
+
+    # reference baseline: BASELINE_measured.json torch-CPU if present
+    vs = None
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BASELINE_measured.json")) as f:
+            base = json.load(f).get("tracking_fps_cpu")
+        if base:
+            vs = fps / base
+    except (OSError, ValueError):
+        pass
+
+    print(json.dumps({
+        "metric": f"tracking_fps_{leg}_b{batch_size}_{h}x{w}",
+        "value": round(fps, 2), "unit": "frames/sec",
+        "vs_baseline": round(vs, 1) if vs else None,
+        "detail": {"frames": n, "dets_per_frame": round(dets_pf, 1),
+                   "active_tracks_per_frame": round(tracks_pf, 1)},
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -262,15 +262,25 @@ class CenterNetPredictor:
             "image_paths": paths,
         }
 
-    def inference_tracking(self, img_dir: str, batch_size: int = 4,
-                           save_dir: Optional[str] = None,
-                           save_results: bool = False,
-                           save_images: bool = False,
-                           tracker_config: Optional[Dict] = None,
-                           **tracker_kwargs) -> Dict[str, list]:
-        """Track a folder of frames (the reference's commented-out
-        inference_tracking2d spec, fairmot.py:154-216). Returns per-frame
-        {'bboxes', 'track_ids'}; optionally writes MOT-format results."""
+    def track_stream(self, batches, tracker_config: Optional[Dict] = None,
+                     **tracker_kwargs):
+        """Pipelined tracking over an iterator of `(frames, n_valid)` pairs,
+        where `frames` is a uint8/float (B, H, W, 3) array at the model's
+        image size and `n_valid <= B` marks how many leading frames are
+        real (the rest is padding for static shapes).
+
+        Yields one dict per valid frame, in order:
+        `{'bboxes': [xyxy norm], 'track_ids': [int], 'num_detections': int}`
+        (active tracks after that frame's association; num_detections =
+        detections above the tracker's score threshold that entered it).
+
+        This is the serving hot path (reference tracker.py:83-121
+        step_batch, made streaming): the device forward of batch i+1 is
+        dispatched — async, device arrays, no host sync — before the host
+        runs batch i's Hungarian association, so the TPU computes while the
+        host associates (SURVEY.md §7 hard parts). The numpy conversion
+        (the only blocking point) happens AFTER the next dispatch.
+        """
         assert self.task.reid_config is not None, (
             "tracking needs a model with a reid head (reid_config)"
         )
@@ -284,8 +294,47 @@ class CenterNetPredictor:
             )
 
         tracker = Tracker(model=model_fn, **cfg)
+        k = cfg.get("num_detections", tracker.num_detections)
+        nms = cfg.get("nms_kernel")
+
+        it = iter(batches)
+        nxt = next(it, None)
+        pending = None
+        if nxt is not None:
+            pending = (nxt[1], self._gather_tracking_device(
+                nxt[0], num_detections=k, nms_kernel=nms))
+        while pending is not None:
+            n, dets_dev = pending
+            nxt = next(it, None)
+            pending = None
+            if nxt is not None:
+                pending = (nxt[1], self._gather_tracking_device(
+                    nxt[0], num_detections=k, nms_kernel=nms))
+            boxes = np.asarray(dets_dev["boxes"])
+            labels = np.asarray(dets_dev["labels"])
+            scores = np.asarray(dets_dev["scores"])
+            embeddings = np.asarray(dets_dev["embeddings"])
+            for i in range(n):
+                tracker.update(boxes[i], labels[i], scores[i], embeddings[i])
+                tracker.frame += 1
+                yield {
+                    "bboxes": [t.bbox for t in tracker.tracks if t.active],
+                    "track_ids": [t.track_id for t in tracker.tracks
+                                  if t.active],
+                    "num_detections": int(
+                        (scores[i] >= tracker.detection_threshold).sum()),
+                }
+
+    def inference_tracking(self, img_dir: str, batch_size: int = 4,
+                           save_dir: Optional[str] = None,
+                           save_results: bool = False,
+                           save_images: bool = False,
+                           tracker_config: Optional[Dict] = None,
+                           **tracker_kwargs) -> Dict[str, list]:
+        """Track a folder of frames (the reference's commented-out
+        inference_tracking2d spec, fairmot.py:154-216). Returns per-frame
+        {'bboxes', 'track_ids'}; optionally writes MOT-format results."""
         ds = InferenceDataset(img_dir, resize=self.image_size)
-        out = {"bboxes": [], "track_ids": []}
         results_path = images_dir = None
         if save_dir is not None:
             os.makedirs(save_dir, exist_ok=True)
@@ -297,79 +346,56 @@ class CenterNetPredictor:
                 images_dir = os.path.join(save_dir, "images")
                 os.makedirs(images_dir, exist_ok=True)
 
-        def load_batch(start):
-            items = [ds[i] for i in range(start, min(start + batch_size, len(ds)))]
-            batch = np.stack([x["image"] for x in items])
-            if len(items) < batch_size:
-                pad = np.zeros((batch_size - len(items), *batch.shape[1:]),
-                               batch.dtype)
-                batch = np.concatenate([batch, pad])
-            return items, batch
+        # items for frame f are loaded (appended) before track_stream can
+        # yield f — the stream holds at most one batch in flight, so the
+        # deque never exceeds two batches of decoded frames.
+        import collections
 
-        # software pipeline: the device forward of batch i+1 is dispatched
-        # (async, device arrays — no host sync) before the host runs batch
-        # i's Hungarian association, so the TPU computes while the host
-        # associates (SURVEY.md §7 hard parts). The numpy conversion (the
-        # only blocking point) happens AFTER the next dispatch.
-        starts = list(range(0, len(ds), batch_size))
-        pending = None
-        if starts:
-            k = cfg.get("num_detections", tracker.num_detections)
-            items, batch = load_batch(starts[0])
-            pending = (items, self._gather_tracking_device(
-                batch, num_detections=k, nms_kernel=cfg.get("nms_kernel")))
+        loaded_items = collections.deque()
 
-        frame = 0
-        for idx, start in enumerate(starts):
-            items, dets_dev = pending
-            if idx + 1 < len(starts):
-                nxt_items, nxt_batch = load_batch(starts[idx + 1])
-                pending = (nxt_items, self._gather_tracking_device(
-                    nxt_batch, num_detections=k,
-                    nms_kernel=cfg.get("nms_kernel")))
-            dets = {"bboxes": np.asarray(dets_dev["boxes"]),
-                    "labels": np.asarray(dets_dev["labels"]),
-                    "scores": np.asarray(dets_dev["scores"]),
-                    "embeddings": np.asarray(dets_dev["embeddings"])}
-            n = len(items)
-            step_out = {"bboxes": [], "track_ids": []}
-            for i in range(n):
-                tracker.update(dets["bboxes"][i], dets["labels"][i],
-                               dets["scores"][i], dets["embeddings"][i])
-                tracker.frame += 1
-                step_out["bboxes"].append(
-                    [t.bbox for t in tracker.tracks if t.active])
-                step_out["track_ids"].append(
-                    [t.track_id for t in tracker.tracks if t.active])
-            out["bboxes"].extend(step_out["bboxes"])
-            out["track_ids"].extend(step_out["track_ids"])
+        def batch_iter():
+            for start in range(0, len(ds), batch_size):
+                items = [ds[i] for i in
+                         range(start, min(start + batch_size, len(ds)))]
+                loaded_items.extend(items)
+                batch = np.stack([x["image"] for x in items])
+                if len(items) < batch_size:
+                    pad = np.zeros(
+                        (batch_size - len(items), *batch.shape[1:]),
+                        batch.dtype)
+                    batch = np.concatenate([batch, pad])
+                yield batch, len(items)
+
+        out = {"bboxes": [], "track_ids": []}
+        stream = self.track_stream(batch_iter(), tracker_config=tracker_config,
+                                   **tracker_kwargs)
+        for frame, step in enumerate(stream):
+            item = loaded_items.popleft()
+            out["bboxes"].append(step["bboxes"])
+            out["track_ids"].append(step["track_ids"])
 
             if results_path:
                 from .eval.utils import write_mot_results
 
-                for i, item in enumerate(items):
-                    write_mot_results(
-                        results_path,
-                        [step_out["bboxes"][i]], [step_out["track_ids"][i]],
-                        img_width=item["original_width"],
-                        img_height=item["original_height"],
-                        start_frame=frame + i,
-                    )
+                write_mot_results(
+                    results_path, [step["bboxes"]], [step["track_ids"]],
+                    img_width=item["original_width"],
+                    img_height=item["original_height"],
+                    start_frame=frame,
+                )
             if images_dir:
                 import cv2
 
                 from .utils.viz import draw_boxes
 
-                for i, item in enumerate(items):
-                    annotated = draw_boxes(
-                        item["image"], step_out["bboxes"][i],
-                        labels=step_out["track_ids"][i], normalized_boxes=True,
-                    )
-                    cv2.imwrite(
-                        os.path.join(images_dir, f"{frame + i:06d}.jpg"),
-                        cv2.cvtColor(annotated, cv2.COLOR_RGB2BGR),
-                    )
-            frame += n
+                annotated = draw_boxes(
+                    item["image"], step["bboxes"],
+                    labels=step["track_ids"], normalized_boxes=True,
+                )
+                cv2.imwrite(
+                    os.path.join(images_dir, f"{frame:06d}.jpg"),
+                    cv2.cvtColor(annotated, cv2.COLOR_RGB2BGR),
+                )
         return out
 
 
