@@ -133,6 +133,38 @@ def test_inference_tracking(img_folder, tmp_path):
     assert os.path.exists(os.path.join(save_dir, "tracking_results.txt"))
 
 
+def test_track_stream_contract():
+    """track_stream: (batch, n_valid) iterator -> one dict per VALID frame,
+    in order, with the per-frame active-track lists and the count of
+    detections that cleared the tracker's score threshold."""
+    cfg = dict(TINY_MODEL)
+    cfg["num_classes"] = 1
+    cfg["reid_config"] = {"emb_dim": 8, "max_track_ids": 20}
+    model = build_centernet({"model": cfg})
+
+    rng = np.random.default_rng(0)
+    h, w = model.image_size
+
+    def batches():
+        # two full batches + one padded tail: 2 + 2 + 1 valid frames
+        for n_valid in (2, 2, 1):
+            frames = rng.integers(0, 255, (2, h, w, 3), dtype=np.uint8)
+            yield frames, n_valid
+
+    steps = list(model.track_stream(
+        batches(), detection_threshold=0.0, min_birth_age=1,
+        num_detections=5))
+    assert len(steps) == 5  # padding frames never reach the tracker
+    for step in steps:
+        assert set(step) == {"bboxes", "track_ids", "num_detections"}
+        assert len(step["bboxes"]) == len(step["track_ids"])
+        # threshold 0.0: all k=5 detections enter association
+        assert step["num_detections"] == 5
+
+    # an empty stream yields nothing (and never builds device work)
+    assert list(model.track_stream(iter(()), num_detections=5)) == []
+
+
 def test_gather_detection2d_from_encoded_outputs():
     """Two-step README contract: encoded = model(x); gather(encoded)."""
     import jax.numpy as jnp2
