@@ -29,9 +29,14 @@ def _pad_batch(batch: List[Dict], keys, max_boxes: Optional[int],
     k = max(k, 1)
 
     # collated batches use the task's canonical key "boxes" (dataset samples
-    # keep the reference's "bboxes"; this boundary is the rename point)
+    # keep the reference's "bboxes"; this boundary is the rename point).
+    # uint8 images are KEPT uint8 — the jitted train/eval step normalizes
+    # them on device (make_train_step docstring; 4x smaller H2D). A float32
+    # image here means the host pipeline already ran Normalize.
+    images = np.stack([x["image"] for x in batch])
     out = {
-        "image": np.stack([x["image"] for x in batch]).astype(np.float32),
+        "image": images if images.dtype == np.uint8
+        else images.astype(np.float32),
         "boxes": np.zeros((n, k, 4), np.float32),
         "labels": np.zeros((n, k), np.int32),
         "mask": np.zeros((n, k), np.float32),

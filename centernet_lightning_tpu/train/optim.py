@@ -20,7 +20,7 @@ from typing import Any, Dict, Optional
 
 import optax
 
-__all__ = ["make_optimizer", "make_lr_schedule"]
+__all__ = ["make_optimizer", "make_lr_schedule", "schedule_from_config"]
 
 
 def _is_norm_param(path) -> bool:
@@ -57,6 +57,23 @@ def make_lr_schedule(
         return jnp.where(step < warmup_steps, warm, cos) if warmup_steps else cos
 
     return schedule
+
+
+def schedule_from_config(opt_cfg: Dict[str, Any], max_epochs: int,
+                         steps_per_epoch: int):
+    """The LR schedule `make_optimizer(**opt_cfg)` builds internally, as a
+    standalone step->lr function (for logging — the reference's
+    LearningRateMonitor callback, configs/centernet.yaml:101). Defaults are
+    read off make_optimizer's signature so the two can never drift."""
+    import inspect
+
+    sig = inspect.signature(make_optimizer).parameters
+
+    def get(key):
+        return opt_cfg.get(key, sig[key].default)
+
+    return make_lr_schedule(get("lr"), max_epochs, steps_per_epoch,
+                            get("warmup_epochs"), get("warmup_decay"))
 
 
 def make_optimizer(

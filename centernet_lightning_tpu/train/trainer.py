@@ -29,7 +29,7 @@ from ..utils.box_np import convert_box_format
 from .checkpoint import (latest_checkpoint, load_checkpoint, save_checkpoint,
                          wait_for_saves)
 from .logging import MetricLogger
-from .optim import make_optimizer
+from .optim import make_optimizer, schedule_from_config
 from .state import TrainState, make_eval_step, make_train_step
 
 __all__ = ["Trainer"]
@@ -138,6 +138,10 @@ class Trainer:
             variables["params"], max_epochs=max_epochs,
             steps_per_epoch=steps_per_epoch, **opt_cfg,
         )
+        # step -> lr, for logging (LearningRateMonitor parity); counts
+        # OPTIMIZER updates, so divide micro-steps by `accumulate`
+        self.lr_schedule = schedule_from_config(
+            opt_cfg, max_epochs, steps_per_epoch)
         if self.accumulate > 1:
             # mean-of-k-micro-grads, applied every k-th step; clipping (inside
             # the chain) acts on the accumulated gradient like Lightning's
@@ -389,6 +393,8 @@ class Trainer:
                 if step % self.log_every == 0:
                     metrics = {f"train/{k}_loss": float(v) for k, v in losses.items()}
                     metrics["train/images_per_sec"] = n_imgs / (time.time() - t0)
+                    metrics["train/lr"] = float(
+                        self.lr_schedule(step // self.accumulate))
                     self.logger.log(metrics, step)
 
             if epoch == self.start_epoch:

@@ -227,6 +227,22 @@ def test_collate_padding_and_mask():
     assert out["ids"][0, :2].tolist() == [7, 9]
 
 
+def test_collate_preserves_uint8_images():
+    """No-Normalize pipelines hand uint8 images to collate; the batch must
+    STAY uint8 so the jitted step's device-side normalize actually fires
+    (make_train_step's dtype gate) and H2D stays 4x smaller. A float image
+    (host already normalized) still collates to float32."""
+    items = [{"image": np.full((16, 16, 3), 200, np.uint8),
+              "bboxes": np.array([[1, 1, 5, 5]], np.float32),
+              "labels": np.array([0])}]
+    out = CollateDetection(max_boxes=4)(items)
+    assert out["image"].dtype == np.uint8
+    assert out["image"][0, 0, 0, 0] == 200
+    items[0]["image"] = items[0]["image"].astype(np.float64) / 255.0
+    out = CollateDetection(max_boxes=4)(items)
+    assert out["image"].dtype == np.float32
+
+
 def test_dataloader_and_builder(coco_dir):
     img_dir, ann = coco_dir
     ds = build_dataset({

@@ -48,6 +48,28 @@ def test_lr_schedule_warmup_cosine():
     assert float(sched(100)) == pytest.approx(0.0, abs=1e-6)
 
 
+def test_schedule_from_config_mirrors_optimizer_defaults():
+    """schedule_from_config (the Trainer's train/lr logging source) must
+    produce the exact schedule make_optimizer builds internally — both for
+    make_optimizer's signature defaults and for explicit overrides."""
+    from centernet_lightning_tpu.train.optim import schedule_from_config
+
+    # defaults: lr=0.05, warmup_epochs=5, warmup_decay=0.01
+    sched = schedule_from_config({}, max_epochs=10, steps_per_epoch=10)
+    ref = make_lr_schedule(0.05, max_epochs=10, steps_per_epoch=10,
+                           warmup_epochs=5, warmup_decay=0.01)
+    for step in (0, 17, 50, 99):
+        assert float(sched(step)) == pytest.approx(float(ref(step)))
+
+    cfg = {"lr": 0.2, "warmup_epochs": 1, "warmup_decay": 0.5,
+           "optimizer": "AdamW", "weight_decay": 1e-3}  # extras ignored
+    sched = schedule_from_config(cfg, max_epochs=4, steps_per_epoch=5)
+    ref = make_lr_schedule(0.2, max_epochs=4, steps_per_epoch=5,
+                           warmup_epochs=1, warmup_decay=0.5)
+    for step in (0, 3, 5, 19):
+        assert float(sched(step)) == pytest.approx(float(ref(step)))
+
+
 def test_norm_wd_mask():
     task = tiny_task()
     variables = task.init(jax.random.PRNGKey(0), image_size=(IMG, IMG))

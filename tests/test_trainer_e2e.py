@@ -83,6 +83,15 @@ def test_trainer_overfits_synthetic_coco(synthetic_coco, tmp_path):
     from centernet_lightning_tpu.train.checkpoint import latest_checkpoint
     assert latest_checkpoint(str(tmp_path / "ckpt")) is not None
     assert (tmp_path / "logs" / "metrics.jsonl").exists()
+    # LR is logged alongside the losses (LearningRateMonitor parity) and
+    # matches the optimizer's own schedule at that step
+    rows = [json.loads(line) for line in
+            (tmp_path / "logs" / "metrics.jsonl").read_text().splitlines()]
+    lr_rows = [r for r in rows if "train/lr" in r]
+    assert lr_rows, "train/lr never logged"
+    for r in lr_rows:
+        expected = float(trainer.lr_schedule(r["step"]))
+        assert abs(r["train/lr"] - expected) < 1e-9
 
 
 def test_fairmot_train_step_runs(rng):

@@ -167,6 +167,25 @@ def test_val_interval_mapping(capsys):
     assert "val_check_interval" in capsys.readouterr().out
 
 
+def test_save_resolved_config_writes_yaml(tmp_path):
+    """train.py writes the resolved config into the workdir (LightningCLI
+    save_config_overwrite parity, reference train.py:5); tuples and numpy
+    scalars must round-trip as plain YAML."""
+    import yaml
+
+    import train as train_cli
+
+    cfg = {"model": {"image_size": (128, 96), "lr": np.float64(0.05),
+                     "backbone": "resnet18"},
+           "trainer": {"max_epochs": 2}}
+    workdir = str(tmp_path / "run")
+    train_cli._save_resolved_config(cfg, workdir)
+    loaded = yaml.safe_load(open(f"{workdir}/config.yaml"))
+    assert loaded["model"]["image_size"] == [128, 96]
+    assert loaded["model"]["lr"] == 0.05
+    assert loaded["trainer"]["max_epochs"] == 2
+
+
 def test_ground_truth_to_coco_annotations_honors_area_and_crowd():
     """The GT->COCO converter writes the annotation's own area/iscrowd
     when present (pycocotools GT semantics) and falls back to box w*h /

@@ -51,6 +51,7 @@ def main():
         jax.distributed.initialize()
 
     config = normalize_config(load_config(args.config))
+    _save_resolved_config(config, args.workdir)
     model_cfg = dict(config["model"])
     trainer_cfg = dict(config.get("trainer", {}))
 
@@ -111,6 +112,30 @@ def main():
         logger_config=_parse_logger_config(trainer_cfg.get("logger")),
     )
     trainer.fit()
+
+
+def _save_resolved_config(config, workdir: str):
+    """Write the fully resolved config (after `__base__` inheritance and
+    Gen-A/Gen-B normalization) into the run dir — LightningCLI's
+    `save_config_overwrite=True` behavior (reference train.py:5), so a run
+    is reproducible from its workdir alone."""
+    import jax
+    import yaml
+
+    if jax.process_index() != 0:
+        return
+
+    def plain(x):  # yaml-safe: tuples -> lists, numpy scalars -> python
+        if isinstance(x, dict):
+            return {k: plain(v) for k, v in x.items()}
+        if isinstance(x, (list, tuple)):
+            return [plain(v) for v in x]
+        return x.item() if hasattr(x, "item") else x
+
+    os.makedirs(workdir, exist_ok=True)
+    with open(os.path.join(workdir, "config.yaml"), "w") as f:
+        yaml.safe_dump(plain(config), f, sort_keys=False,
+                       default_flow_style=False)
 
 
 def _val_interval(trainer_cfg) -> int:
