@@ -103,6 +103,20 @@ def loader_from_config(config, train: bool, seed=None):
     config overrides the train/eval default."""
     cfg = dict(config)
     cfg.setdefault("type", "coco")
+    if cfg["type"] == "packed":
+        # pre-processed memory-mapped cache (tools/pack_dataset.py) — batch
+        # assembly is a fancy-index per array, so one host core feeds the
+        # chip at device rate (data/packed.py)
+        from .packed import PackedLoader
+
+        return PackedLoader(
+            cfg.get("data_dir") or cfg["pack_dir"],
+            batch_size=cfg.get("batch_size", 32),
+            shuffle=cfg.get("shuffle", train),
+            drop_last=cfg.get("drop_last"),
+            flip_p=cfg.get("flip_p", 0.0),
+            seed=0 if seed is None else seed,
+        )
     loader_keys = {"batch_size", "num_workers", "shuffle", "max_boxes",
                    "drop_last", "pin_memory"}
     loader_cfg = {k: cfg.pop(k) for k in list(cfg) if k in loader_keys}
