@@ -109,6 +109,14 @@ def loader_from_config(config, train: bool, seed=None):
         # chip at device rate (data/packed.py)
         from .packed import PackedLoader
 
+        if "num_shards" in cfg or "shard_id" in cfg:
+            shard_id, num_shards = cfg.get("shard_id", 0), cfg.get("num_shards", 1)
+        else:
+            # multihost: every process reads the same pack; shard by rank
+            import jax
+
+            num_shards = jax.process_count()
+            shard_id = jax.process_index() if num_shards > 1 else 0
         return PackedLoader(
             cfg.get("data_dir") or cfg["pack_dir"],
             batch_size=cfg.get("batch_size", 32),
@@ -116,6 +124,7 @@ def loader_from_config(config, train: bool, seed=None):
             drop_last=cfg.get("drop_last"),
             flip_p=cfg.get("flip_p", 0.0),
             seed=0 if seed is None else seed,
+            shard_id=shard_id, num_shards=num_shards,
         )
     loader_keys = {"batch_size", "num_workers", "shuffle", "max_boxes",
                    "drop_last", "pin_memory"}

@@ -99,11 +99,19 @@ class PackedLoader:
     (image reverse + x -> W - x - w on the xywh boxes). Requires the pack
     to hold UNNORMALIZED images only in the sense that flipping is
     dtype-agnostic — it works for uint8 and float packs alike.
+
+    `shard_id`/`num_shards`: multihost data parallelism — every process
+    reads the SAME pack and takes a disjoint interleaved slice (the
+    jax-native analog of DDP's DistributedSampler; shard by
+    `jax.process_index()`/`jax.process_count()`). Shuffling draws the same
+    seed-derived permutation on every shard, so global batches stay
+    epoch-consistent across processes.
     """
 
     def __init__(self, pack_dir: str, batch_size: int = 32,
                  shuffle: bool = False, drop_last: Optional[bool] = None,
-                 flip_p: float = 0.0, seed: int = 0):
+                 flip_p: float = 0.0, seed: int = 0,
+                 shard_id: int = 0, num_shards: int = 1):
         with open(os.path.join(pack_dir, "meta.json")) as f:
             self.meta = json.load(f)
         if self.meta.get("version") != _VERSION:
@@ -120,14 +128,23 @@ class PackedLoader:
         self.drop_last = shuffle if drop_last is None else drop_last
         self.flip_p = float(flip_p)
         self.seed = seed
+        self.shard_id = int(shard_id)
+        self.num_shards = max(1, int(num_shards))
+        if not 0 <= self.shard_id < self.num_shards:
+            raise ValueError(
+                f"shard_id {shard_id} out of range for {num_shards} shards")
+        # equal-length shards (floor) so multihost processes stay in
+        # lockstep — every process must dispatch the same number of steps
+        self._n_shard = (self.n // self.num_shards if self.num_shards > 1
+                         else self.n)
         self._epoch = 0
         # len(loader.dataset) is used for steps_per_epoch bookkeeping
-        self.dataset = range(self.n)
+        self.dataset = range(self._n_shard)
 
     def __len__(self) -> int:
         if self.drop_last:
-            return self.n // self.batch_size
-        return (self.n + self.batch_size - 1) // self.batch_size
+            return self._n_shard // self.batch_size
+        return (self._n_shard + self.batch_size - 1) // self.batch_size
 
     def _flip(self, batch: Dict[str, np.ndarray], rng: np.random.Generator):
         flip = rng.random(batch["image"].shape[0]) < self.flip_p
@@ -148,7 +165,12 @@ class PackedLoader:
         self._epoch += 1
         if self.shuffle:
             rng.shuffle(order)
-        stop = (self.n - self.batch_size + 1) if self.drop_last else self.n
+        if self.num_shards > 1:
+            # every shard permutes the GLOBAL order with the same seed,
+            # then takes its interleaved slice — disjoint and consistent
+            order = order[self.shard_id::self.num_shards][:self._n_shard]
+        stop = ((self._n_shard - self.batch_size + 1) if self.drop_last
+                else self._n_shard)
         for start in range(0, max(stop, 0), self.batch_size):
             idx = np.sort(order[start:start + self.batch_size])
             batch = {k: np.ascontiguousarray(a[idx])

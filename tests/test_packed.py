@@ -154,6 +154,60 @@ def test_pack_cli_inline_json(coco_dir, tmp_path, monkeypatch, capsys):
     assert PackedLoader(str(tmp_path / "pack"), batch_size=2).n == 5
 
 
+def test_packed_sharding_disjoint_and_lockstep(coco_dir, tmp_path):
+    """Multihost sharding: same-seed shards are disjoint, equal-length
+    (lockstep step counts), and jointly cover floor(n/num_shards)*num_shards
+    samples per epoch."""
+    pack_dataset(data_cfg(coco_dir), str(tmp_path / "pack"))  # n=5, unique ids
+    shards = [PackedLoader(str(tmp_path / "pack"), batch_size=2, shuffle=True,
+                           seed=5, shard_id=i, num_shards=2)
+              for i in range(2)]
+    assert all(len(s) == 1 for s in shards)  # 5//2=2 samples -> 1 batch
+    seen = [
+        {int(i) for b in s for i in np.asarray(b["image_id"])} for s in shards
+    ]
+    assert len(seen[0]) == len(seen[1]) == 2
+    assert not seen[0] & seen[1]
+
+    with pytest.raises(ValueError, match="shard_id"):
+        PackedLoader(str(tmp_path / "pack"), shard_id=3, num_shards=3)
+
+    loader = loader_from_config(
+        {"type": "packed", "data_dir": str(tmp_path / "pack"),
+         "batch_size": 2, "shard_id": 1, "num_shards": 2}, train=True)
+    assert loader.shard_id == 1
+    assert len(loader.dataset) == 2  # local shard, floor(5/2)
+
+
+def test_packed_tracking_keys_roundtrip(tmp_path):
+    """MOT packs carry ids + sequence_id; unshuffled order preserves the
+    frame sequence (tracking validation needs in-order frames)."""
+    import cv2
+
+    root = tmp_path / "mot" / "SEQ-01"
+    (root / "img1").mkdir(parents=True)
+    (root / "gt").mkdir()
+    lines = []
+    for f in range(1, 7):
+        cv2.imwrite(str(root / "img1" / f"{f:06d}.jpg"),
+                    np.full((32, 40, 3), 60, np.uint8))
+        lines.append(f"{f},1,4,4,10,12,1,1,1")
+    (root / "gt" / "gt.txt").write_text("\n".join(lines) + "\n")
+    (root / "seqinfo.ini").write_text(
+        "[Sequence]\nname=SEQ-01\nimDir=img1\nframeRate=30\nseqLength=6\n"
+        "imWidth=40\nimHeight=32\nimExt=.jpg\n")
+
+    cfg = {"type": "mot-tracking", "data_dir": str(tmp_path / "mot"),
+           "batch_size": 2, "num_workers": 0, "max_boxes": 4,
+           "transforms": [{"name": "Resize",
+                           "init_args": {"height": 32, "width": 40}}]}
+    meta = pack_dataset(cfg, str(tmp_path / "pack"), train=False)
+    assert {"ids", "sequence_id"} <= set(meta["keys"])
+    batches = list(PackedLoader(str(tmp_path / "pack"), batch_size=2))
+    assert all((b["sequence_id"] == 0).all() for b in batches)
+    assert batches[0]["ids"][0, 0] == batches[1]["ids"][0, 0]  # same track
+
+
 def test_packed_version_mismatch_raises(coco_dir, tmp_path):
     pack_dataset(data_cfg(coco_dir), str(tmp_path / "pack"))
     meta_path = tmp_path / "pack" / "meta.json"
