@@ -78,9 +78,11 @@ def test_scale_is_max_abs_over_batches(key, rng):
     np.testing.assert_allclose(scales["Conv_0"], 5.0 / 127.0, rtol=1e-6)
 
 
-def test_depthwise_and_strided_convs_quantize(key, rng):
-    """feature_group_count (separable) and stride-2 convs go through the
-    int8 path and stay numerically close."""
+def test_depthwise_excluded_by_default_but_quantizable(key, rng):
+    """Depthwise/grouped convs stay float under default_exclude (no MXU
+    int8 win, so float costs nothing and keeps accuracy margin), but the
+    int8 math still supports them when opted in; stride-2 convs go
+    through the int8 path either way."""
 
     class M(nn.Module):
         @nn.compact
@@ -93,15 +95,28 @@ def test_depthwise_and_strided_convs_quantize(key, rng):
     m = M()
     x = jnp.asarray(rng.normal(size=(2, 16, 16, 3)).astype(np.float32))
     variables = m.init(key, x)
+
+    # default: the depthwise conv (Conv_1) is NOT calibrated
     scales = collect_conv_scales(m, variables, [x],
                                  apply_kwargs={"train": False})
-    assert len(scales) == 3
+    assert sorted(scales) == ["Conv_0", "Conv_2"]
     qtree = quantize_conv_params(variables, scales)
     got = quantized_apply(m, variables, qtree, scales, x, train=False)
     ref = m.apply(variables, x, train=False)
     assert got.shape == ref.shape
     denom = float(jnp.abs(ref).max())
     assert float(jnp.abs(got - ref).max()) / denom < 0.05
+
+    # opt-in: a permissive exclude quantizes the depthwise conv too and
+    # stays numerically close
+    include_all = lambda context: False  # noqa: E731
+    scales_all = collect_conv_scales(m, variables, [x], exclude=include_all,
+                                     apply_kwargs={"train": False})
+    assert len(scales_all) == 3
+    qtree_all = quantize_conv_params(variables, scales_all)
+    got_all = quantized_apply(m, variables, qtree_all, scales_all, x,
+                              exclude=include_all, train=False)
+    assert float(jnp.abs(got_all - ref).max()) / denom < 0.05
 
 
 def test_end_to_end_model_error_bounded(key, rng):
