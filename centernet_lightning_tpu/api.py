@@ -472,7 +472,10 @@ def build_centernet(
     if torch_ckpt is not None:
         variables = task.load_torch_checkpoint(torch_ckpt, image_size=image_size)
     elif state is not None:
-        variables = {"params": state["params"],
+        # a run trained with ema_decay serves its AVERAGED weights — the
+        # same ones validation monitored when selecting this checkpoint
+        params = state.get("ema_params") or state["params"]
+        variables = {"params": params,
                      "batch_stats": state.get("batch_stats", {})}
     else:
         variables = task.init(rng or jax.random.PRNGKey(0), image_size=image_size)

@@ -26,6 +26,11 @@ class TrainState(struct.PyTreeNode):
     batch_stats: Any
     opt_state: Any
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    # exponential moving average of params (None = EMA off). Lives in the
+    # state pytree so the update happens INSIDE the one jitted train step
+    # (fused with the optimizer update, no extra host round-trip); the
+    # Trainer validates/serves with these when present.
+    ema_params: Any = None
 
     def apply_gradients(self, grads, new_batch_stats):
         updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
@@ -58,7 +63,8 @@ def _task_mean_std(task):
 
 
 def make_train_step(task, donate: bool = True,
-                    compute_dtype: Optional[Any] = None) -> Callable:
+                    compute_dtype: Optional[Any] = None,
+                    ema_decay: float = 0.0) -> Callable:
     """Build the jitted train step.
 
     Delegates the forward+loss to `task.train_forward(variables, batch)`
@@ -77,6 +83,14 @@ def make_train_step(task, donate: bool = True,
     throughput over the thin remote-TPU tunnel, and free bandwidth on any
     host. Identical math to the host Normalize ((x/255 - mean)/std),
     pinned by tests/test_train_step.py.
+
+    ema_decay > 0 maintains an exponential moving average of the params in
+    `state.ema_params` (requires it to be initialized, e.g. to a copy of
+    the params). The effective decay follows tf.train's num_updates
+    schedule, min(decay, (1+t)/(10+t)), so early steps track the raw
+    weights closely instead of the random init. The update is part of the
+    jitted step (one fused program). No reference counterpart — a
+    TPU-native training-quality addition (standard in modern detectors).
     """
     compute_dtype = jnp.dtype(compute_dtype) if compute_dtype else None
 
@@ -121,6 +135,12 @@ def make_train_step(task, donate: bool = True,
 
         grads, (losses, new_bs) = jax.grad(loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads, new_bs)
+        if ema_decay > 0 and state.ema_params is not None:
+            t = new_state.step.astype(jnp.float32)
+            d = jnp.minimum(jnp.float32(ema_decay), (1.0 + t) / (10.0 + t))
+            new_state = new_state.replace(ema_params=jax.tree_util.tree_map(
+                lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+                state.ema_params, new_state.params))
         return new_state, losses
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
@@ -128,11 +148,16 @@ def make_train_step(task, donate: bool = True,
 
 def make_eval_step(task, num_detections: Optional[int] = None) -> Callable:
     """Jitted forward + decode for validation
-    (reference centernet.py:202-212)."""
+    (reference centernet.py:202-212).
+
+    When the state carries EMA params (ema_decay > 0), validation scores
+    the AVERAGED weights — those are what checkpoint selection monitors
+    and what `build_centernet` serves from the checkpoint."""
 
     @partial(jax.jit, static_argnums=())
     def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        params = state.params if state.ema_params is None else state.ema_params
+        variables = {"params": params, "batch_stats": state.batch_stats}
         images = batch["image"]
         if images.dtype == jnp.uint8:
             from ..ops.preprocess import preprocess

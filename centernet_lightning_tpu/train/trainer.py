@@ -62,6 +62,9 @@ class Trainer:
                                            # updates every k micro-batches
                                            # (optax.MultiSteps — one jitted
                                            # program either way)
+        ema_decay: float = 0.0,  # >0: keep an EMA of the weights (updated
+                                 # inside the jitted step), validate/serve
+                                 # with it (train/state.py make_train_step)
     ):
         self.task = task
         self.train_loader = train_loader
@@ -150,12 +153,16 @@ class Trainer:
             self.tx = optax.MultiSteps(
                 self.tx, every_k_schedule=self.accumulate
             ).gradient_transformation()
+        self.ema_decay = float(ema_decay)
         self.state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=variables["params"],
             batch_stats=variables.get("batch_stats", {}),
             opt_state=self.tx.init(variables["params"]),
             tx=self.tx,
+            # EMA starts at the (possibly finetune-restored) init weights
+            ema_params=(jax.tree_util.tree_map(jnp.copy, variables["params"])
+                        if self.ema_decay > 0 else None),
         )
         self.start_epoch = 0
         self._maybe_resume()
@@ -167,12 +174,15 @@ class Trainer:
             batch_stats=jax.device_put(self.state.batch_stats, rep),
             opt_state=jax.device_put(self.state.opt_state, rep),
             step=jax.device_put(self.state.step, rep),
+            ema_params=(jax.device_put(self.state.ema_params, rep)
+                        if self.state.ema_params is not None else None),
         )
 
         compute_dtype = (
             "bfloat16" if str(precision) in ("16", "bf16", "bfloat16") else None
         )
-        self.train_step = make_train_step(task, compute_dtype=compute_dtype)
+        self.train_step = make_train_step(task, compute_dtype=compute_dtype,
+                                          ema_decay=self.ema_decay)
         self.eval_step = make_eval_step(task)
         self._feature_fn = None  # lazy jitted backbone-feature diagnostic
         self.best_metric = -np.inf if monitor_mode == "max" else np.inf
@@ -196,13 +206,26 @@ class Trainer:
             "epoch": 0,
             "best_metric": 0.0,
         }
-        restored, _ = load_checkpoint(latest, target=target)
+        if self.state.ema_params is not None:
+            target["ema_params"] = jax.device_get(self.state.ema_params)
+        try:
+            restored, _ = load_checkpoint(latest, target=target)
+        except Exception:
+            if "ema_params" not in target:
+                raise
+            # checkpoint predates ema_decay: restore without it and re-seed
+            # the EMA from the restored raw weights
+            target.pop("ema_params")
+            restored, _ = load_checkpoint(latest, target=target)
         self.state = self.state.replace(
             params=restored["params"],
             batch_stats=restored["batch_stats"],
             opt_state=restored["opt_state"],
             step=jnp.asarray(restored["step"], jnp.int32),
         )
+        if self.state.ema_params is not None:
+            self.state = self.state.replace(ema_params=jax.tree_util.tree_map(
+                jnp.copy, restored.get("ema_params", restored["params"])))
         self.start_epoch = int(restored.get("epoch", 0))
         # restore the monitored best so auto-resume can't overwrite the
         # real best checkpoint with a worse first validation
@@ -221,6 +244,9 @@ class Trainer:
             "epoch": epoch,
             "best_metric": float(self.best_metric),
         }
+        if self.state.ema_params is not None:
+            # build_centernet serves ema_params when a checkpoint has them
+            tree["ema_params"] = jax.device_get(self.state.ema_params)
         # best checkpoints go to a tagged subdir (ModelCheckpoint monitor
         # semantics, reference configs/centernet.yaml:103-106); untagged
         # saves are the rolling `save_last` chain

@@ -107,6 +107,7 @@ def main():
         precision=trainer_cfg.get("precision"),
         accumulate_grad_batches=int(
             trainer_cfg.get("accumulate_grad_batches", 1)),
+        ema_decay=float(trainer_cfg.get("ema_decay", 0.0)),
         finetune_from=(model_cfg.get("load_from_checkpoint")
                        or model_cfg.get("finetune_from")),
         logger_config=_parse_logger_config(trainer_cfg.get("logger")),
