@@ -40,6 +40,11 @@ CONFIGS = {
         backbone="vovnet39", neck="FPN", neck_config={"out_channels": 256},
         head_config={"width": 256, "depth": 3},
     ),
+    "dla34_ida": dict(                      # original-CenterNet lineage:
+        backbone="dla34", neck="IDA",       # DLA-34 + iterative deep
+        neck_config={"out_channels": 256},  # aggregation neck (DLAUp analog)
+        head_config={"width": 256, "depth": 2},
+    ),
     "resnet18_dcn": dict(                   # VOC 37.5: ResNet-18 + FPN/DCNv2
         backbone="resnet18", neck="FPN",    # exact unbounded gather engine
         neck_config={"out_channels": 128, "conv_type": "dcn"},

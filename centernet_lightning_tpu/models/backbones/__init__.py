@@ -3,6 +3,7 @@ lookup (reference models/meta.py:87). Names cover both reference config
 generations plus common aliases.
 """
 from .darknet import CSPDarknet53, cspdarknet53, darknet53
+from .dla import DLA, dla34, dla34_small
 from .mobilenet import MobileNetV2, MobileNetV3Large, mobilenet_v2, mobilenet_v3_large
 from .resnet import ResNet, resnet18, resnet34, resnet50, resnet101
 from .vovnet import VoVNet, vovnet19, vovnet39, vovnet57
@@ -21,6 +22,8 @@ BACKBONES = {
     "vovnet19": vovnet19,
     "vovnet39": vovnet39,
     "vovnet57": vovnet57,
+    "dla34": dla34,
+    "dla34_small": dla34_small,
 }
 
 

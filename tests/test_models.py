@@ -22,7 +22,8 @@ def key():
     return jax.random.PRNGKey(0)
 
 
-@pytest.mark.parametrize("name", BACKBONE_NAMES + ["vovnet39", "cspdarknet53"])
+@pytest.mark.parametrize("name", BACKBONE_NAMES + ["vovnet39", "cspdarknet53",
+                                                   "dla34"])
 def test_backbone_pyramid_shapes(key, name):
     bb = build_backbone(name)
     assert bb.stride == 32
@@ -48,6 +49,46 @@ def test_neck_output_shapes(key, neck_name):
     out = neck.apply(variables, feats, train=False)
     assert neck.stride == 8
     assert out.shape == (1, IMG // 4, IMG // 4, neck.out_channels)
+
+
+def test_dla34_structure(key):
+    """DLA-34: published parameter budget (~15.2M backbone-only), the
+    hierarchical-aggregation wiring (levels 3/4 have nested trees, roots
+    exist at every level), and level_root concat widths."""
+    bb = build_backbone("dla34")
+    x = jnp.zeros((1, IMG, IMG, 3))
+    variables = bb.init(key, x, train=False)
+    n_params = sum(p.size for p in jax.tree_util.tree_leaves(
+        variables["params"]))
+    assert 14.5e6 < n_params < 16.0e6, n_params / 1e6
+
+    p = variables["params"]
+    # level2 is a single tree (blocks directly); level3/4 recurse
+    assert "tree1" in p["level2"] and "root" in p["level2"]
+    assert "tree1" in p["level3"]["tree1"], "level3 must nest trees"
+    assert "root" in p["level3"]["tree2"], "right subtree owns the root"
+    # level_root: level3's final root sees [x2, x1, child_tree1, bottom]
+    # -> 128*3 + 64 input channels into the 1x1 fusion conv
+    root_kernel = p["level3"]["tree2"]["root"]["Conv_0"]["kernel"]
+    assert root_kernel.shape == (1, 1, 128 * 3 + 64, 128), root_kernel.shape
+    # level2 (no level_root): root over [x2, x1] only
+    root2 = p["level2"]["root"]["Conv_0"]["kernel"]
+    assert root2.shape == (1, 1, 64 * 2, 64), root2.shape
+
+    feats = bb.apply(variables, x, train=False)
+    assert all(bool(jnp.isfinite(f).all()) for f in feats)
+
+
+def test_centernet_dla34_forward(key):
+    task = CenterNet(num_classes=3, backbone="dla34", neck="FPN",
+                     neck_config={"out_channels": 64},
+                     head_config={"width": 32, "depth": 1},
+                     num_detections=5)
+    variables = task.init(key, image_size=(IMG, IMG))
+    out = task.model.apply(variables, jnp.zeros((1, IMG, IMG, 3)),
+                           train=False)
+    assert out["heatmap"].shape == (1, IMG // 4, IMG // 4, 3)
+    assert out["box_2d"].shape == (1, IMG // 4, IMG // 4, 4)
 
 
 def test_simple_neck_contract():
