@@ -78,6 +78,12 @@ def default_exclude(context) -> bool:
     parent = getattr(context.module, "parent", None)
     if type(parent).__name__ == "DeformableConvBlock":
         return True
+    # NOT excluded: narrow head out_convs (256->4 / 256->classes). The
+    # trace shows their fusions are expensive (~3.4 ms on the flagship
+    # b64), but measurement attributes that to the LAYOUT/memory traffic
+    # of writing the decode's input tensors, not to int8 MXU padding —
+    # excluding them measured 1308 img/s vs 1336 quantized
+    # (tools/profile_serve.py, docs/experiments.md).
     return getattr(context.module, "feature_group_count", 1) > 1
 
 
