@@ -91,8 +91,9 @@ def main():
             out = quant_forward(variables, imgs, train=False)
         else:
             out = task.model.apply(variables, imgs, train=False)
-        heatmap = out["heatmap"].astype(jnp.float32)   # logits: decode
-        box = out["box_2d"].astype(jnp.float32)        # applies sigmoid to k
+        # raw bf16 outputs flow straight into decode (logits path): the
+        # NHWC kernel consumes them natively — no full-map widen/re-layout
+        heatmap, box = out["heatmap"], out["box_2d"]
         if use_pallas:
             return decode_detections_pallas(
                 heatmap, box, num_detections=task.num_detections,

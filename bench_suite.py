@@ -121,13 +121,11 @@ def bench_config(name: str, kwargs: dict, batch_size: int, on_tpu: bool):
             out = quant_forward(variables, imgs, train=False)
         else:
             out = task.model.apply(variables, imgs, train=False)
-        heatmap = out["heatmap"].astype(jnp.float32)
-        box = out["box_2d"].astype(jnp.float32)
+        heatmap, box = out["heatmap"], out["box_2d"]  # raw dtypes: decode widens
         if "reid" in out:
             # tracking path: top-k + box + embedding gather in-graph
             return task.decode_detections(
-                heatmap, box, reid=out["reid"].astype(jnp.float32),
-                from_logits=True)
+                heatmap, box, reid=out["reid"], from_logits=True)
         if on_tpu:
             return decode_detections_pallas(
                 heatmap, box, num_detections=task.num_detections,

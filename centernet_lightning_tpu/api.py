@@ -95,10 +95,13 @@ class CenterNetPredictor:
                 images = images.astype(dtype)
             outputs = forward(variables, images)
             reid = outputs.get("reid")
+            # raw model dtypes (bf16) flow straight into decode: the fused
+            # kernel consumes NHWC bf16 natively; scores/boxes/embeddings
+            # come back f32 either way
             return task.decode_detections(
-                outputs["heatmap"].astype(jnp.float32),
-                outputs["box_2d"].astype(jnp.float32),
-                reid=reid.astype(jnp.float32) if reid is not None else None,
+                outputs["heatmap"],
+                outputs["box_2d"],
+                reid=reid,
                 normalize_boxes=normalize,
                 num_detections=num_detections, nms_kernel=nms_kernel,
                 from_logits=True,
@@ -167,8 +170,8 @@ class CenterNetPredictor:
         if isinstance(images, dict):
             encoded = images
             out = self.task.decode_detections(
-                encoded["heatmap"].astype(jnp.float32),
-                encoded["box_2d"].astype(jnp.float32),
+                encoded["heatmap"],
+                encoded["box_2d"],
                 reid=encoded.get("reid"),
                 normalize_boxes=normalize_boxes,
                 num_detections=num_detections, nms_kernel=nms_kernel,

@@ -71,11 +71,60 @@ class Bottleneck(nn.Module):
         return nn.relu(y + residual)
 
 
+class StemConv(nn.Module):
+    """The 7x7/2 stem conv, with a space-to-depth evaluation path.
+
+    The parameter is the standard torchvision (7, 7, C, width) kernel —
+    checkpoint- and converter-compatible, identical init stream — but with
+    `space_to_depth` the SAME weights are reshaped at apply time into the
+    mathematically equivalent 4x4 stride-1 conv over a 2x2 space-to-depth
+    input: x(N,H,W,C) -> (N,H/2,W/2,4C), kernel zero-padded 7->8 at the
+    leading edge and regrouped (8,8,C,O) -> (4,4,4C,O), padding (3,3) ->
+    (2,1). This is the MLPerf-style TPU stem optimization for low-channel
+    stems. MEASURED NEUTRAL on v5e (docs/experiments.md round 3): the
+    4x4x12 form ran at the same 2.25 ms as the 7x7x3 at the flagship shape
+    and the s2d input re-layout added 0.4 ms, so it defaults OFF; kept
+    because the transform is exact (pinned by tests, up to f32 summation
+    order) and the tradeoff differs across TPU generations.
+    Odd spatial sizes fall back to the plain conv (identical math).
+    """
+    width: int
+    space_to_depth: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.he_normal(),
+                            (7, 7, c, self.width), jnp.float32)
+        dtype = jnp.promote_types(x.dtype, kernel.dtype)
+        x = x.astype(dtype)
+        kernel = kernel.astype(dtype)
+        n, h, w, _ = x.shape
+        if self.space_to_depth and h % 2 == 0 and w % 2 == 0:
+            x2 = x.reshape(n, h // 2, 2, w // 2, 2, c)
+            x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
+            # k[p', q'] = kernel[p'-1, q'-1]; output tap p = 2P + a - 1
+            k = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+            k = k.reshape(4, 2, 4, 2, c, self.width)
+            k = k.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, self.width)
+            return jax.lax.conv_general_dilated(
+                x2, k, (1, 1), ((2, 1), (2, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return jax.lax.conv_general_dilated(
+            x, kernel, (2, 2), ((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class ResNet(nn.Module):
     stage_sizes: Sequence[int]
     block_cls: Callable
     width: int = 64
     stride: int = 32
+    stem_space_to_depth: bool = False  # see StemConv. MEASURED NEUTRAL on
+    #   v5e (trace: 2.25 ms either form — the stem conv is not
+    #   input-layout-bound — plus a 0.4 ms s2d input re-layout copy), so
+    #   the plain 7x7/s2 stays the default; kept as an option + tests
+    #   because the transform is exact and other TPU generations differ.
     remat: bool = False  # gradient checkpointing per block (jax.checkpoint):
     #                      trades recompute for activation memory on big batches
 
@@ -86,13 +135,16 @@ class ResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
-        # stem: 7x7/2 + BN + ReLU + 3x3/2 maxpool
-        x = nn.Conv(self.width, (7, 7), strides=2, padding=[(3, 3), (3, 3)],
-                    use_bias=False, kernel_init=nn.initializers.he_normal(),
-                    name="stem_conv")(x)
+        # stem: 7x7/2 (space-to-depth form by default) + BN + ReLU + 3x3/2 maxpool
+        x = StemConv(self.width, space_to_depth=self.stem_space_to_depth,
+                     name="stem_conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          name="stem_bn")(x)
         x = nn.relu(x)
+        # NOTE: a separable (W-pass, H-pass) pool measured SLOWER than this
+        # fused reduce_window (2.4 ms + a second pass vs 2.09 ms, flagship
+        # b64 trace — the halved intermediate write costs more than the
+        # overlapping-tap reads save); keep the single 3x3/s2 window.
         x = jax.lax.reduce_window(
             x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
             ((0, 0), (1, 1), (1, 1), (0, 0)),

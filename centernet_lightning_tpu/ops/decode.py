@@ -125,6 +125,9 @@ def gather_and_decode_boxes(
 
     flat = box_offsets.reshape(n, h * w, 4)
     offsets = jnp.take_along_axis(flat, indices[..., None], axis=1)  # (N, k, 4)
+    # box math is always f32: gather the k bf16 values first (cheap), then
+    # widen — callers may pass the model's bf16 output directly
+    offsets = offsets.astype(jnp.float32)
     if box_log:
         offsets = jnp.exp(offsets)
     offsets = jnp.clip(offsets * box_multiplier, min=0)
@@ -169,7 +172,12 @@ def decode_detections(
     """Full decode. Returns dict with boxes (xyxy), scores, labels
     [+ embeddings when reid given] — reference centernet.py:229-241 and
     fairmot.py:138-151 merged into one jit-safe function.
+
+    Accepts the model's raw output dtypes (e.g. bf16): scores/boxes always
+    come back f32. (The fused Pallas path consumes bf16 natively without a
+    full-map widen — prefer decode_detections_auto on TPU.)
     """
+    heatmap = heatmap.astype(jnp.float32)
     scores, indices, labels = get_topk_from_heatmap(
         heatmap, num_detections=num_detections, nms_kernel=nms_kernel,
         pseudo_nms=pseudo_nms, from_logits=from_logits,
@@ -184,5 +192,7 @@ def decode_detections(
     )
     out = {"boxes": boxes, "scores": scores, "labels": labels}
     if reid is not None:
-        out["embeddings"] = gather_at_indices(reid, indices)
+        # k gathered embeddings widen to f32 (serving contract), whatever
+        # dtype the model's reid head emitted
+        out["embeddings"] = gather_at_indices(reid, indices).astype(jnp.float32)
     return out

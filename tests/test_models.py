@@ -218,3 +218,54 @@ def test_init_defaults_to_image_size_hparam(key):
     variables = task.init(key)
     out = task.apply(variables, jnp.zeros((1, 64, 64, 3)))
     assert out["heatmap"].shape == (1, 16, 16, 2)
+
+
+class TestStemSpaceToDepth:
+    """The ResNet stem's space-to-depth path (models/backbones/resnet.py
+    StemConv) is a pure re-expression of the 7x7/s2 conv: same parameter
+    (name, shape, init stream), same math up to f32 summation order."""
+
+    def test_matches_plain_conv(self, key):
+        from centernet_lightning_tpu.models.backbones.resnet import resnet18
+
+        s2d = resnet18()                              # default: enabled
+        plain = resnet18(stem_space_to_depth=False)
+        x = jnp.asarray(np.random.default_rng(0).normal(
+            size=(2, 64, 96, 3)).astype(np.float32))
+        variables = s2d.init(key, x, train=False)
+        # identical param tree (same path, shape, init stream)
+        assert variables["params"]["stem_conv"]["kernel"].shape == (7, 7, 3, 64)
+        np.testing.assert_array_equal(
+            np.asarray(variables["params"]["stem_conv"]["kernel"]),
+            np.asarray(plain.init(key, x, train=False)
+                       ["params"]["stem_conv"]["kernel"]))
+        out_a = s2d.apply(variables, x, train=False)
+        out_b = plain.apply(variables, x, train=False)
+        for a, b in zip(out_a, out_b):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-5)
+
+    def test_odd_size_falls_back_bit_exact(self, key):
+        from centernet_lightning_tpu.models.backbones.resnet import StemConv
+
+        x = jnp.asarray(np.random.default_rng(1).normal(
+            size=(1, 31, 33, 3)).astype(np.float32))
+        m = StemConv(8)
+        v = m.init(key, x)
+        ref = StemConv(8, space_to_depth=False).apply(v, x)
+        np.testing.assert_array_equal(np.asarray(m.apply(v, x)),
+                                      np.asarray(ref))
+
+    def test_gradients_flow(self, key):
+        from centernet_lightning_tpu.models.backbones.resnet import StemConv
+
+        x = jnp.ones((1, 8, 8, 3))
+        m = StemConv(4)
+        v = m.init(key, x)
+
+        def loss(p):
+            return jnp.sum(m.apply({"params": p}, x) ** 2)
+
+        g = jax.grad(loss)(v["params"])
+        assert np.isfinite(np.asarray(g["kernel"])).all()
+        assert float(jnp.abs(g["kernel"]).sum()) > 0

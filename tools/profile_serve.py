@@ -135,8 +135,7 @@ def main():
 
     def fwd_decode(variables, imgs):
         out = forward(variables, imgs, train=False)
-        hm = out["heatmap"].astype(jnp.float32)
-        bx = out["box_2d"].astype(jnp.float32)
+        hm, bx = out["heatmap"], out["box_2d"]  # raw dtypes: decode widens
         if on_tpu:
             return decode_detections_pallas(
                 hm, bx, num_detections=100, stride=task.stride,
@@ -149,7 +148,10 @@ def main():
 
         def body(i, acc):
             out = fwd_decode(variables, base + i.astype(dtype) * 1e-3)
-            return acc + jnp.sum(out["scores"])
+            # sum boxes too: scores alone don't depend on box_2d, and XLA
+            # dead-code-eliminates the entire box head from the loop
+            # (measured: 56 ms/batch DCE'd vs 75.9 ms real)
+            return acc + jnp.sum(out["scores"]) + jnp.sum(out["boxes"]) * 1e-9
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
