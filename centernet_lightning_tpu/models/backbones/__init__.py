@@ -4,6 +4,13 @@ generations plus common aliases.
 """
 from .darknet import CSPDarknet53, cspdarknet53, darknet53
 from .dla import DLA, dla34, dla34_small
+from .efficientnet import (
+    EfficientNet,
+    efficientnet_b0,
+    efficientnet_b1,
+    efficientnet_b2,
+    efficientnet_b3,
+)
 from .mobilenet import MobileNetV2, MobileNetV3Large, mobilenet_v2, mobilenet_v3_large
 from .resnet import ResNet, resnet18, resnet34, resnet50, resnet101
 from .vovnet import VoVNet, vovnet19, vovnet39, vovnet57
@@ -24,6 +31,10 @@ BACKBONES = {
     "vovnet57": vovnet57,
     "dla34": dla34,
     "dla34_small": dla34_small,
+    "efficientnet_b0": efficientnet_b0,
+    "efficientnet_b1": efficientnet_b1,
+    "efficientnet_b2": efficientnet_b2,
+    "efficientnet_b3": efficientnet_b3,
 }
 
 

@@ -23,7 +23,7 @@ def key():
 
 
 @pytest.mark.parametrize("name", BACKBONE_NAMES + ["vovnet39", "cspdarknet53",
-                                                   "dla34"])
+                                                   "dla34", "efficientnet_b0"])
 def test_backbone_pyramid_shapes(key, name):
     bb = build_backbone(name)
     assert bb.stride == 32
@@ -269,3 +269,61 @@ class TestStemSpaceToDepth:
         g = jax.grad(loss)(v["params"])
         assert np.isfinite(np.asarray(g["kernel"])).all()
         assert float(jnp.abs(g["kernel"]).sum()) > 0
+
+
+class TestEfficientNet:
+    """EfficientNet backbone contracts: B0 param budget vs the published
+    torchvision trunk, compound scaling, SE reduction source, and
+    stochastic-depth behavior."""
+
+    def test_b0_param_budget(self, key):
+        from centernet_lightning_tpu.models.backbones import efficientnet_b0
+
+        bb = efficientnet_b0()
+        v = bb.init(key, jnp.zeros((1, 64, 64, 3)), train=False)
+        n = sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(v["params"]))
+        # torchvision efficientnet_b0 trunk (features minus the final
+        # 1280-ch head conv and classifier) ~= 3.6M params
+        assert 3.0e6 < n < 4.2e6, n
+
+    def test_b3_scales_deeper_and_wider(self, key):
+        from centernet_lightning_tpu.models.backbones import (
+            efficientnet_b0, efficientnet_b3)
+
+        b0, b3 = efficientnet_b0(), efficientnet_b3()
+        assert b3.out_channels[0] > b0.out_channels[0] or \
+            b3.out_channels[-1] > b0.out_channels[-1]
+        x = jnp.zeros((1, 64, 64, 3))
+        v0 = b0.init(key, x, train=False)
+        v3 = b3.init(key, x, train=False)
+        n0 = sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(v0["params"]))
+        n3 = sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(v3["params"]))
+        assert n3 > 1.5 * n0
+
+    def test_stochastic_depth_train_only(self, key):
+        from centernet_lightning_tpu.models.backbones import efficientnet_b0
+
+        bb = efficientnet_b0(stochastic_depth_prob=0.5)
+        x = jnp.asarray(np.random.default_rng(0).normal(
+            size=(2, 32, 32, 3)).astype(np.float32))
+        v = bb.init({"params": key, "dropout": jax.random.PRNGKey(1)}, x,
+                    train=False)
+        # eval: deterministic, no dropout rng needed
+        a = bb.apply(v, x, train=False)
+        b = bb.apply(v, x, train=False)
+        np.testing.assert_array_equal(np.asarray(a[-1]), np.asarray(b[-1]))
+        # train: residual branches drop per-sample
+        t1 = bb.apply(v, x, train=True, rngs={"dropout": jax.random.PRNGKey(2)},
+                      mutable=["batch_stats"])[0]
+        t2 = bb.apply(v, x, train=True, rngs={"dropout": jax.random.PRNGKey(3)},
+                      mutable=["batch_stats"])[0]
+        assert np.abs(np.asarray(t1[-1]) - np.asarray(t2[-1])).max() > 0
+
+    def test_centernet_assembly(self, key):
+        task = CenterNet(num_classes=3, backbone="efficientnet_b0",
+                         neck="FPN", neck_config={"out_channels": 32},
+                         head_config={"width": 16, "depth": 1})
+        variables = task.init(key, image_size=(64, 64), batch_size=1)
+        out = task.apply(variables, jnp.zeros((1, 64, 64, 3)))
+        assert out["heatmap"].shape == (1, 16, 16, 3)
+        assert out["box_2d"].shape == (1, 16, 16, 4)
