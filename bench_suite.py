@@ -62,6 +62,11 @@ CONFIGS = {
                      "conv_type": "dcn_fast_d1"},
         head_config={"width": 128, "depth": 2},
     ),
+    "efficientnet_b0": dict(                # reference test-grid backbone
+        backbone="efficientnet_b0", neck="FPN",  # (timm efficientnet_b0)
+        neck_config={"out_channels": 96, "conv_type": "separable"},
+        head_config={"width": 96, "depth": 2},
+    ),
     "mobilenetv2_sep": dict(                # VOC 15.4: MobileNetV2 + sep FPN
         backbone="mobilenet_v2", neck="FPN",
         neck_config={"out_channels": 96, "conv_type": "separable"},

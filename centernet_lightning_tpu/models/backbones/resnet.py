@@ -141,10 +141,13 @@ class ResNet(nn.Module):
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          name="stem_bn")(x)
         x = nn.relu(x)
-        # NOTE: a separable (W-pass, H-pass) pool measured SLOWER than this
-        # fused reduce_window (2.4 ms + a second pass vs 2.09 ms, flagship
-        # b64 trace — the halved intermediate write costs more than the
-        # overlapping-tap reads save); keep the single 3x3/s2 window.
+        # fused reduce_window is the MEASURED best form of this pool
+        # (flagship b64 traces): a separable two-pass XLA pool = 2.4 ms +
+        # a second pass vs 2.09 ms; the read-once Pallas kernel
+        # (ops/pallas_pool.py) = 1.34 ms BUT forces a 1.6 ms row-major
+        # operand copy AND un-fuses BN+ReLU from the conv epilogue
+        # (87.2 ms total step vs 75.6). XLA's overlapping-window fusion
+        # wins because it reads the conv output in its native layout.
         x = jax.lax.reduce_window(
             x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
             ((0, 0), (1, 1), (1, 1), (0, 0)),
