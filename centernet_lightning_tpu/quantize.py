@@ -50,9 +50,39 @@ __all__ = [
     "quantized_apply",
     "quantize_model",
     "default_exclude",
+    "load_calibration_images",
 ]
 
 _EPS = 1e-8
+
+_IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp")
+
+
+def load_calibration_images(img_dir: str, n: int, image_size) -> "np.ndarray":
+    """First `n` images of a folder, resized to (h, w), uint8 (N, h, w, 3) —
+    the calibration batch for `CenterNetPredictor.quantize`. Shared by the
+    detect/track/serve CLIs (non-image entries are skipped; a stray
+    seqinfo.ini or subfolder must not crash calibration)."""
+    import os
+
+    import cv2
+    import numpy as np
+
+    h, w = image_size
+    names = sorted(
+        f for f in os.listdir(img_dir)
+        if f.lower().endswith(_IMG_EXTS)
+        and os.path.isfile(os.path.join(img_dir, f))
+    )[:n]
+    if not names:
+        raise FileNotFoundError(
+            f"no calibration images ({'/'.join(_IMG_EXTS)}) in {img_dir}")
+    return np.stack([
+        cv2.resize(cv2.cvtColor(
+            cv2.imread(os.path.join(img_dir, f), cv2.IMREAD_COLOR),
+            cv2.COLOR_BGR2RGB), (w, h))
+        for f in names
+    ]).astype(np.uint8)
 
 
 def _canon(v, n: int) -> Tuple[int, ...]:

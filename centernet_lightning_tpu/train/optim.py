@@ -46,15 +46,22 @@ def make_lr_schedule(
     cosine_steps = max(1, (max_epochs - warmup_epochs) * steps_per_epoch)
 
     def schedule(step):
+        import jax
         import jax.numpy as jnp
+        import numpy as np
 
-        step = jnp.asarray(step, jnp.float32)
+        # same formula on either array module: jnp under jit (the optimizer
+        # passes a traced step), numpy for host ints (train/lr logging —
+        # eager jnp scalar math costs ~20 ms/op dispatch over the axon
+        # tunnel, ~0.15 s per log step)
+        xp = jnp if isinstance(step, jax.Array) else np
+        step = xp.asarray(step, xp.float32)
         # torch LinearLR multiplies by start + (1-start) * t/total_iters
-        warm_frac = jnp.clip(step / max(1, warmup_steps), 0.0, 1.0) if warmup_steps else 1.0
+        warm_frac = xp.clip(step / max(1, warmup_steps), 0.0, 1.0) if warmup_steps else 1.0
         warm = lr * (warmup_decay + (1.0 - warmup_decay) * warm_frac)
-        t = jnp.clip((step - warmup_steps) / cosine_steps, 0.0, 1.0)
-        cos = lr * 0.5 * (1.0 + jnp.cos(math.pi * t))
-        return jnp.where(step < warmup_steps, warm, cos) if warmup_steps else cos
+        t = xp.clip((step - warmup_steps) / cosine_steps, 0.0, 1.0)
+        cos = lr * 0.5 * (1.0 + xp.cos(math.pi * t))
+        return xp.where(step < warmup_steps, warm, cos) if warmup_steps else cos
 
     return schedule
 

@@ -211,11 +211,16 @@ class Trainer:
         try:
             restored, _ = load_checkpoint(latest, target=target)
         except Exception:
-            if "ema_params" not in target:
-                raise
-            # checkpoint predates ema_decay: restore without it and re-seed
-            # the EMA from the restored raw weights
-            target.pop("ema_params")
+            # EMA config/checkpoint mismatch, either direction:
+            # - checkpoint predates ema_decay: restore without ema_params
+            #   and re-seed the EMA from the restored raw weights
+            # - checkpoint carries ema_params but this run disabled EMA:
+            #   restore WITH them (orbax needs the full on-disk structure)
+            #   and drop them afterwards
+            if "ema_params" in target:
+                target.pop("ema_params")
+            else:
+                target["ema_params"] = jax.device_get(self.state.params)
             restored, _ = load_checkpoint(latest, target=target)
         self.state = self.state.replace(
             params=restored["params"],

@@ -215,3 +215,38 @@ def test_resume_pre_ema_checkpoint_reseeds(tmp_path, rng):
     for e, p in zip(jax.tree_util.tree_leaves(resumed.state.ema_params),
                     jax.tree_util.tree_leaves(resumed.state.params)):
         np.testing.assert_allclose(np.asarray(e), np.asarray(p))
+
+
+def test_resume_ema_checkpoint_into_no_ema_run(tmp_path, rng):
+    """The reverse mismatch (round-3 review finding): a checkpoint saved
+    WITH ema_params must still resume when the new run disables EMA — the
+    extra subtree restores and is dropped instead of crashing orbax's
+    structure match."""
+    from centernet_lightning_tpu.train.checkpoint import save_checkpoint
+    from centernet_lightning_tpu.train.trainer import Trainer
+
+    task = tiny_task(optimizer_config={
+        "optimizer": "SGD", "lr": 1e-2, "weight_decay": 0,
+        "warmup_epochs": 0})
+    with_ema = Trainer(task, train_loader=None, max_epochs=1,
+                       image_size=(IMG, IMG), ckpt_dir=None, ema_decay=0.9)
+    tree = {
+        "params": jax.device_get(with_ema.state.params),
+        "batch_stats": jax.device_get(with_ema.state.batch_stats),
+        "opt_state": jax.device_get(with_ema.state.opt_state),
+        "ema_params": jax.device_get(with_ema.state.ema_params),
+        "step": 7, "epoch": 2, "best_metric": 0.5,
+    }
+    save_checkpoint(str(tmp_path / "ema"), tree, hparams=task.hparams, step=7)
+
+    task2 = tiny_task(optimizer_config={
+        "optimizer": "SGD", "lr": 1e-2, "weight_decay": 0,
+        "warmup_epochs": 0})
+    resumed = Trainer(task2, train_loader=None, max_epochs=2,
+                      image_size=(IMG, IMG), ckpt_dir=str(tmp_path / "ema"),
+                      ema_decay=0.0)
+    assert int(resumed.state.step) == 7
+    assert resumed.state.ema_params is None
+    for a, b in zip(jax.tree_util.tree_leaves(resumed.state.params),
+                    jax.tree_util.tree_leaves(tree["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))

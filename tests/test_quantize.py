@@ -227,3 +227,25 @@ def test_predictor_quantize_api(key, rng):
     two_step = qpred.gather_detection2d(
         {k: v for k, v in encoded.items()})
     assert two_step["bboxes"].shape == (2, 7, 4)
+
+
+def test_load_calibration_images_skips_non_images(tmp_path, rng):
+    """Shared CLI calibration loader (round-3 review finding): stray
+    non-image entries (seqinfo.ini, subdirs) must not crash calibration."""
+    import cv2
+
+    from centernet_lightning_tpu.quantize import load_calibration_images
+
+    for i in range(3):
+        cv2.imwrite(str(tmp_path / f"{i:03d}.jpg"),
+                    rng.integers(0, 255, (20, 24, 3)).astype(np.uint8))
+    (tmp_path / "seqinfo.ini").write_text("[Sequence]\n")
+    (tmp_path / "aaa_subdir").mkdir()
+
+    calib = load_calibration_images(str(tmp_path), 2, (16, 16))
+    assert calib.shape == (2, 16, 16, 3)
+    assert calib.dtype == np.uint8
+
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        load_calibration_images(str(tmp_path / "aaa_subdir"), 2, (16, 16))

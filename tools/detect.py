@@ -59,19 +59,12 @@ def main():
         checkpoint=args.checkpoint if args.config else None,
     )
     if args.quantize > 0:
-        h, w = predictor.image_size
-        names = sorted(
-            n for n in os.listdir(args.images)
-            if n.lower().endswith((".jpg", ".jpeg", ".png", ".bmp"))
-        )[:args.quantize]
-        calib = np.stack([
-            cv2.resize(cv2.cvtColor(
-                cv2.imread(os.path.join(args.images, n), cv2.IMREAD_COLOR),
-                cv2.COLOR_BGR2RGB), (w, h))
-            for n in names
-        ]).astype(np.uint8)
+        from centernet_lightning_tpu.quantize import load_calibration_images
+
+        calib = load_calibration_images(args.images, args.quantize,
+                                        predictor.image_size)
         predictor = predictor.quantize(calib)
-        print(f"int8 serving: calibrated on {len(names)} images",
+        print(f"int8 serving: calibrated on {len(calib)} images",
               file=sys.stderr)
 
     class_names = None

@@ -51,9 +51,13 @@ def make_shapes_dataset(out_dir: str, n_images: int = 200, size: int = 128,
     rng = np.random.default_rng(seed)
     images, annotations = [], []
     ann_id = 1
+    if size < 32:
+        raise ValueError(f"--size must be >= 32 (got {size}): shapes are "
+                         "12+ px and need placement margin")
     for i in range(n_images):
         img = rng.integers(5, 45, (size, size, 3)).astype(np.uint8)
-        smax = max(24, size // 4)
+        # clamp so x/y placement (below) always has a nonempty range
+        smax = min(max(24, size // 4), size - 14)
         for _ in range(int(rng.integers(min_shapes, max_shapes + 1))):
             w = int(rng.integers(12, smax))
             h = int(rng.integers(12, smax))

@@ -264,15 +264,11 @@ def main():
         checkpoint=args.checkpoint if args.config else None)
 
     if args.quantize_images:
-        h, w = predictor.image_size
-        names = sorted(
-            n for n in os.listdir(args.quantize_images)
-            if n.lower().endswith((".jpg", ".jpeg", ".png", ".bmp"))
-        )[:args.quantize_n]
-        calib = np.stack([
-            cv2.resize(cv2.cvtColor(
-                cv2.imread(os.path.join(args.quantize_images, n)),
-                cv2.COLOR_BGR2RGB), (w, h)) for n in names]).astype(np.uint8)
+        from centernet_lightning_tpu.quantize import load_calibration_images
+
+        calib = load_calibration_images(args.quantize_images,
+                                        args.quantize_n,
+                                        predictor.image_size)
         predictor = predictor.quantize(calib)
         print(f"int8 serving: calibrated on {len(names)} images",
               file=sys.stderr)

@@ -67,9 +67,6 @@ def main():
 
         jax.config.update("jax_platforms", args.platform)
 
-    import cv2
-    import numpy as np
-
     from centernet_lightning_tpu import build_centernet
 
     predictor = build_centernet(
@@ -77,16 +74,12 @@ def main():
         checkpoint=args.checkpoint if args.config else None,
     )
     if args.quantize > 0:
-        h, w = predictor.image_size
-        names = sorted(os.listdir(args.frames))[:args.quantize]
-        calib = np.stack([
-            cv2.resize(cv2.cvtColor(
-                cv2.imread(os.path.join(args.frames, n), cv2.IMREAD_COLOR),
-                cv2.COLOR_BGR2RGB), (w, h))
-            for n in names
-        ]).astype(np.uint8)
+        from centernet_lightning_tpu.quantize import load_calibration_images
+
+        calib = load_calibration_images(args.frames, args.quantize,
+                                        predictor.image_size)
         predictor = predictor.quantize(calib)
-        print(f"int8 serving: calibrated on {len(names)} frames",
+        print(f"int8 serving: calibrated on {len(calib)} frames",
               file=sys.stderr)
 
     tracker_config = _parse_kv(args.tracker)
