@@ -244,16 +244,18 @@ class COCOProtocolEval:
                         rc = tp / npig
                         pr = tp / (fp + tp + np.spacing(1))
                         recall[t, k, a, m] = rc[-1] if nd else 0.0
-                        # precision envelope (monotone from the right)
+                        # precision envelope (monotone from the right) —
+                        # vectorized: pycocotools' backward max scan is
+                        # exactly a reversed cummax (the per-det Python
+                        # loop was the eval host's hottest interpreter
+                        # loop after the C++ matcher landed)
                         q = np.zeros(R)
-                        pr = pr.tolist()
-                        for i in range(nd - 1, 0, -1):
-                            if pr[i] > pr[i - 1]:
-                                pr[i - 1] = pr[i]
-                        inds = np.searchsorted(rc, self.rec_thrs, side="left")
-                        for ri, pi in enumerate(inds):
-                            if pi < nd:
-                                q[ri] = pr[pi]
+                        if nd:
+                            env = np.maximum.accumulate(pr[::-1])[::-1]
+                            inds = np.searchsorted(rc, self.rec_thrs,
+                                                   side="left")
+                            ok = inds < nd
+                            q[ok] = env[inds[ok]]
                         precision[t, :, k, a, m] = q
 
         self.precision = precision

@@ -66,6 +66,12 @@ def clear_metrics(gt_frames, pred_frames, iou_threshold: float = 0.5) -> Dict[st
                 pj = np.where(pr_ids == prev_match[gid])[0]
                 if len(pj):
                     score[gi, pj[0]] += 1000.0 * (sim[gi, pj[0]] >= iou_threshold - _EPS)
+        # TrackEval CLEAR zeroes sub-threshold pairs BEFORE the assignment
+        # (score_mat[sim < thr - eps] = 0): without this the Hungarian can
+        # burn a prediction on a pair it must then reject, losing a valid
+        # cross match (2 GT x 2 dets with IoUs [[.49,.51],[.51,.60]] must
+        # yield TP=2, not TP=1)
+        score[sim < iou_threshold - _EPS] = 0.0
         rows, cols = linear_sum_assignment(-score)
         matched_g, matched_p = [], []
         for r, c in zip(rows, cols):
@@ -104,16 +110,16 @@ def idf1_score(gt_frames, pred_frames, iou_threshold: float = 0.5) -> Dict[str, 
     overlap = np.zeros((nG, nP))  # frames where the pair is IoU-matched
 
     for (gt_boxes, gt_ids), (pr_boxes, pr_ids) in zip(gt_frames, pred_frames):
-        for i in gt_ids:
-            gt_counts[g_index[int(i)]] += 1
-        for i in pr_ids:
-            pr_counts[p_index[int(i)]] += 1
-        if len(gt_ids) and len(pr_ids):
+        gi = np.array([g_index[int(i)] for i in gt_ids], dtype=int)
+        pj = np.array([p_index[int(i)] for i in pr_ids], dtype=int)
+        if len(gi):
+            gt_counts[gi] += 1
+        if len(pj):
+            pr_counts[pj] += 1
+        if len(gi) and len(pj):
             sim = box_iou_xywh(gt_boxes, pr_boxes)
-            for gi in range(len(gt_ids)):
-                for pj in range(len(pr_ids)):
-                    if sim[gi, pj] >= iou_threshold - _EPS:
-                        overlap[g_index[int(gt_ids[gi])], p_index[int(pr_ids[pj])]] += 1
+            # ids are unique within a frame, so np.ix_ accumulation is safe
+            overlap[np.ix_(gi, pj)] += sim >= iou_threshold - _EPS
 
     num_gt = gt_counts.sum()
     num_pr = pr_counts.sum()

@@ -71,8 +71,11 @@ def ground_truth_to_coco_annotations(
             })
             ann_id += 1
             num_classes = max(num_classes, int(label) + 1)
+    # labels may exceed len(cat_names) (a lagging class_names list must
+    # not crash export): fall back to the numeric name past the end
     cats = [
-        {"id": i, "name": cat_names[i] if cat_names else str(i)}
+        {"id": i,
+         "name": cat_names[i] if cat_names and i < len(cat_names) else str(i)}
         for i in range(max(num_classes, len(cat_names or [])))
     ]
     return {"images": images, "annotations": annotations, "categories": cats}

@@ -62,12 +62,14 @@ class FairMOT(CenterNet):
         )
         losses = self.compute_loss(outputs, batch)
 
-        # identity cross-entropy, masked over padding (fairmot.py:56-59)
+        # identity cross-entropy, masked over padding (fairmot.py:56-59) —
+        # the canonical implementation lives in ops.losses (one source)
+        from ..ops.losses import reid_cross_entropy_loss
+
         ids = batch["ids"].reshape(-1).astype(jnp.int32)
         mask = batch["mask"].reshape(-1).astype(jnp.float32)
-        log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        ce = -jnp.take_along_axis(log_probs, ids[:, None], axis=-1)[:, 0]
-        reid_loss = jnp.sum(ce * mask) / (jnp.sum(mask) + 1e-8)
+        reid_loss = reid_cross_entropy_loss(
+            logits.astype(jnp.float32), ids, mask)
 
         total = losses["total"] + reid_loss * self.reid_loss_weight
         return {**losses, "reid": reid_loss, "total": total}, mutated["batch_stats"]

@@ -191,30 +191,39 @@ def reid_triplet_loss(
     embeddings: jnp.ndarray, ids: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
     margin: float = 0.05,
 ) -> jnp.ndarray:
-    """Batch-hard triplet margin loss on L2-normalized embeddings
-    (reference reid_loss.py:27-43, pytorch-metric-learning TripletMargin).
+    """Triplet margin loss with pytorch-metric-learning semantics —
+    reference reid_loss.py:27-43 builds
+    TripletMarginLoss(distance=CosineSimilarity()) with defaults: ALL
+    valid triplets (a, p, n), per-triplet loss
+    relu(sim(a, n) - sim(a, p) + margin), averaged over the VIOLATING
+    (nonzero) triplets (AvgNonZeroReducer); 0 when none violate.
 
-    For each valid anchor: hardest positive (same id, max distance) and
-    hardest negative (different id, min distance); relu(d_pos - d_neg +
-    margin) averaged over anchors with at least one positive.
+    Computed one anchor row at a time (lax.scan) so memory stays O(M^2)
+    instead of materializing the (M, M, M) triplet tensor.
     """
     e = embeddings / (jnp.linalg.norm(embeddings, axis=-1, keepdims=True) + 1e-12)
-    d = jnp.sum(jnp.square(e[:, None, :] - e[None, :, :]), axis=-1)  # (M, M)
+    s = e @ e.T                                            # cosine sim (M, M)
 
     valid = jnp.ones(ids.shape[0], bool) if mask is None else mask.astype(bool)
-    same = (ids[:, None] == ids[None, :]) & valid[None, :] & valid[:, None]
+    pair_ok = valid[None, :] & valid[:, None]
+    same = (ids[:, None] == ids[None, :]) & pair_ok
     eye = jnp.eye(ids.shape[0], dtype=bool)
     pos_mask = same & ~eye
-    neg_mask = (~same) & valid[None, :] & valid[:, None]
+    neg_mask = (~same) & pair_ok
 
-    big = jnp.asarray(1e9, d.dtype)
-    hardest_pos = jnp.max(jnp.where(pos_mask, d, -big), axis=1)
-    hardest_neg = jnp.min(jnp.where(neg_mask, d, big), axis=1)
+    def per_anchor(carry, row):
+        total, count = carry
+        sims, prow, nrow = row
+        # (P, N): relu(s_an - s_ap + margin) over this anchor's pairs
+        loss = jnp.maximum(sims[None, :] - sims[:, None] + margin, 0.0)
+        nz = (loss > 0) & prow[:, None] & nrow[None, :]
+        return (total + jnp.sum(jnp.where(nz, loss, 0.0)),
+                count + jnp.sum(nz)), None
 
-    has_pos = jnp.any(pos_mask, axis=1) & jnp.any(neg_mask, axis=1) & valid
-    loss = jnp.maximum(hardest_pos - hardest_neg + margin, 0.0)
-    denom = jnp.maximum(jnp.sum(has_pos), 1)
-    return jnp.sum(jnp.where(has_pos, loss, 0.0)) / denom
+    (total, count), _ = jax.lax.scan(
+        per_anchor, (jnp.float32(0.0), jnp.float32(0.0)),
+        (s.astype(jnp.float32), pos_mask, neg_mask))
+    return total / jnp.maximum(count, 1.0)
 
 
 # ---------------------------------------------------------------------------

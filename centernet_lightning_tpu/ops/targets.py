@@ -171,7 +171,9 @@ def center_sample_indices(
                    neighbor of a non-padded box (out-of-bounds neighbors are
                    dropped, matching centernet.py:153-154)
       target_xyxy: (N, K*9, 4) the original input-scale box replicated per sample
-    Out-of-bounds *centers* contribute no samples, like the reference loop.
+    Bounds are tested PER SAMPLE, like the reference loop (it filters each
+    of cx-1/cx/cx+1 individually): a center that rounds just outside the
+    map still contributes its in-bounds neighbors.
     """
     centers = jnp.round(boxes[..., :2] / stride + boxes[..., 2:] / (2.0 * stride))
     cx = centers[..., 0].astype(jnp.int32)                      # (N, K)

@@ -271,3 +271,61 @@ def test_distractor_preproc_joint_assignment(tmp_path):
         str(tmp_path / "gt"), str(tmp_path / "trk"))
     assert res["MOTA"] == pytest.approx(1.0)
     assert res["IDF1"] == pytest.approx(1.0)
+
+
+def test_clear_zeroes_subthreshold_before_assignment(monkeypatch):
+    """TrackEval CLEAR zeroes sim < threshold BEFORE the Hungarian (round-3
+    review finding): with IoUs [[0.49, 0.51], [0.51, 0.60]] the raw-sum
+    assignment picks (g0,p0)+(g1,p1) and rejects the 0.49 pair (TP=1);
+    the zeroed matrix picks the cross pairing (TP=2, MOTA=1)."""
+    import centernet_lightning_tpu.eval.mot as M
+
+    fixed = np.array([[0.49, 0.51], [0.51, 0.60]])
+    monkeypatch.setattr(M, "box_iou_xywh", lambda g, p: fixed[:len(g), :len(p)])
+
+    gt = [(np.zeros((2, 4)), np.array([1, 2]))]
+    pr = [(np.zeros((2, 4)), np.array([10, 20]))]
+    out = M.clear_metrics(gt, pr, iou_threshold=0.5)
+    assert out["CLR_TP"] == 2, out
+    assert out["MOTA"] == 1.0, out
+
+
+def test_idf1_vectorized_overlap_matches_bruteforce(rng):
+    """The np.ix_ overlap accumulation equals the per-pair loop it
+    replaced (random multi-frame scenario)."""
+    from centernet_lightning_tpu.eval.mot import box_iou_xywh, idf1_score
+
+    frames_gt, frames_pr = [], []
+    for _ in range(6):
+        ng, npred = rng.integers(0, 5), rng.integers(0, 5)
+        gb = np.abs(rng.normal(size=(ng, 4))) * 20 + [[0, 0, 5, 5]] * ng if ng else np.zeros((0, 4))
+        pb = np.abs(rng.normal(size=(npred, 4))) * 20 + [[0, 0, 5, 5]] * npred if npred else np.zeros((0, 4))
+        frames_gt.append((gb, rng.choice(10, size=ng, replace=False)))
+        frames_pr.append((pb, rng.choice(10, size=npred, replace=False)))
+
+    got = idf1_score(frames_gt, frames_pr)
+
+    # brute-force reference
+    g_ids = sorted({int(i) for _, ids in frames_gt for i in ids})
+    p_ids = sorted({int(i) for _, ids in frames_pr for i in ids})
+    overlap = np.zeros((len(g_ids), len(p_ids)))
+    ngt = npr = 0
+    for (gb, gi), (pb, pj) in zip(frames_gt, frames_pr):
+        ngt += len(gi)
+        npr += len(pj)
+        if len(gi) and len(pj):
+            sim = box_iou_xywh(gb, pb)
+            for a in range(len(gi)):
+                for b in range(len(pj)):
+                    if sim[a, b] >= 0.5 - 1e-9:
+                        overlap[g_ids.index(int(gi[a])),
+                                p_ids.index(int(pj[b]))] += 1
+    from scipy.optimize import linear_sum_assignment
+    size = len(g_ids) + len(p_ids)
+    cost = np.zeros((size, size))
+    cost[:len(g_ids), :len(p_ids)] = -overlap
+    r, c = linear_sum_assignment(cost)
+    idtp = sum(overlap[a, b] for a, b in zip(r, c)
+               if a < len(g_ids) and b < len(p_ids))
+    assert got["IDTP"] == idtp
+    assert got["IDF1"] == pytest.approx(2 * idtp / max(1e-9, ngt + npr))

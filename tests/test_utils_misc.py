@@ -204,3 +204,48 @@ def test_ground_truth_to_coco_annotations_honors_area_and_crowd():
     anns = coco["annotations"]
     assert anns[0]["area"] == 42.0 and anns[0]["iscrowd"] == 1
     assert anns[1]["area"] == 20.0 and anns[1]["iscrowd"] == 0
+
+
+def test_reid_triplet_matches_pml_bruteforce():
+    """All-triplets cosine TripletMarginLoss oracle (pytorch-metric-
+    learning semantics, round-3 review finding): loss(a,p,n) =
+    relu(sim(a,n) - sim(a,p) + margin) averaged over nonzero triplets."""
+    rng = np.random.default_rng(3)
+    m, d, margin = 9, 6, 0.05
+    e = rng.normal(size=(m, d)).astype(np.float32)
+    ids = rng.integers(0, 3, size=m)
+    mask = (rng.random(m) > 0.2).astype(np.float32)
+
+    en = e / (np.linalg.norm(e, axis=-1, keepdims=True) + 1e-12)
+    s = en @ en.T
+    losses, valid = [], mask.astype(bool)
+    for a in range(m):
+        if not valid[a]:
+            continue
+        for p in range(m):
+            if p == a or not valid[p] or ids[p] != ids[a]:
+                continue
+            for n in range(m):
+                if not valid[n] or ids[n] == ids[a]:
+                    continue
+                l = max(s[a, n] - s[a, p] + margin, 0.0)
+                if l > 0:
+                    losses.append(l)
+    expected = float(np.mean(losses)) if losses else 0.0
+
+    got = float(reid_triplet_loss(jnp.asarray(e), jnp.asarray(ids),
+                                  mask=jnp.asarray(mask), margin=margin))
+    assert got == pytest.approx(expected, rel=1e-5)
+
+
+def test_gt_to_coco_short_cat_names_does_not_crash():
+    """cat_names shorter than max label falls back to numeric names
+    (round-3 review finding: used to IndexError)."""
+    from centernet_lightning_tpu.eval.utils import (
+        ground_truth_to_coco_annotations,
+    )
+
+    out = ground_truth_to_coco_annotations(
+        [{"boxes": [[0, 0, 10, 10]], "labels": [5]}], cat_names=["a", "b"])
+    names = {c["id"]: c["name"] for c in out["categories"]}
+    assert names[0] == "a" and names[1] == "b" and names[5] == "5"
