@@ -81,6 +81,8 @@ def build_dataloader(
     max_boxes: Optional[int] = None,
     drop_last: Optional[bool] = None,
     seed: int = 0,
+    shard_id: int = 0,
+    num_shards: int = 1,
     **_ignored,
 ) -> DataLoader:
     is_tracking = isinstance(dataset, (MOTTrackingDataset, KITTITrackingDataset,
@@ -93,6 +95,7 @@ def build_dataloader(
         dataset, batch_size=batch_size, shuffle=shuffle,
         collate_fn=collate, num_workers=num_workers,
         drop_last=shuffle if drop_last is None else drop_last, seed=seed,
+        shard_id=shard_id, num_shards=num_shards,
     )
 
 
@@ -127,9 +130,20 @@ def loader_from_config(config, train: bool, seed=None):
             shard_id=shard_id, num_shards=num_shards,
         )
     loader_keys = {"batch_size", "num_workers", "shuffle", "max_boxes",
-                   "drop_last", "pin_memory"}
+                   "drop_last", "pin_memory", "shard_id", "num_shards"}
     loader_cfg = {k: cfg.pop(k) for k in list(cfg) if k in loader_keys}
     loader_cfg.pop("pin_memory", None)  # no pinned-host-memory notion here
     shuffle = loader_cfg.pop("shuffle", train)
+    if "num_shards" not in loader_cfg and "shard_id" not in loader_cfg:
+        # multihost: each process loads its rank-interleaved slice of one
+        # global epoch (the documented local-slice contract; without this
+        # every host fed the identical full dataset and "global" batches
+        # contained each image process_count times)
+        import jax
+
+        if jax.process_count() > 1:
+            loader_cfg["num_shards"] = jax.process_count()
+            loader_cfg["shard_id"] = jax.process_index()
     ds = build_dataset(cfg, seed=(0 if train else 1) if seed is None else seed)
-    return build_dataloader(ds, shuffle=shuffle, **loader_cfg)
+    return build_dataloader(ds, shuffle=shuffle,
+                            seed=0 if seed is None else seed, **loader_cfg)

@@ -44,9 +44,15 @@ class DetectionForTracking:
             return len(targets[images[idx]["id"]]["labels"])
         records = getattr(dataset, "records", None)
         if records is not None:
+            # mirror CrowdHuman.__getitem__'s annotation-level filters
+            # (tag + extra.ignore) so max_track_ids isn't inflated by the
+            # large ignore fraction; the image-size-dependent degenerate-
+            # box drop can't be applied without decoding, so this stays a
+            # safe (slight) upper bound — ids remain unique either way
             return sum(
                 1 for gt in records[idx].get("gtboxes", [])
                 if gt.get("tag") == "person"
+                and gt.get("extra", {}).get("ignore", 0) != 1
             )
         return len(dataset[idx]["labels"])
 

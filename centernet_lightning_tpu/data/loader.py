@@ -28,6 +28,8 @@ class DataLoader:
         drop_last: bool = False,
         seed: int = 0,
         prefetch: int = 2,
+        shard_id: int = 0,
+        num_shards: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -37,10 +39,19 @@ class DataLoader:
         self.drop_last = drop_last
         self.seed = seed
         self.prefetch = prefetch
+        self.shard_id = shard_id
+        self.num_shards = max(1, num_shards)
         self._epoch = 0
 
-    def __len__(self) -> int:
+    def _shard_len(self) -> int:
         n = len(self.dataset)
+        if self.num_shards > 1:
+            # lockstep across ranks: every shard sees exactly n // shards
+            n = n // self.num_shards
+        return n
+
+    def __len__(self) -> int:
+        n = self._shard_len()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -48,8 +59,13 @@ class DataLoader:
     def _batches(self):
         order = np.arange(len(self.dataset))
         if self.shuffle:
+            # seed is shared across ranks: one GLOBAL permutation, each
+            # rank takes its interleaved slice (multihost = disjoint
+            # local slices of one global epoch, like PackedLoader)
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(order)
+        if self.num_shards > 1:
+            order = order[self.shard_id::self.num_shards][:self._shard_len()]
         for start in range(0, len(order), self.batch_size):
             idxs = order[start : start + self.batch_size]
             if self.drop_last and len(idxs) < self.batch_size:

@@ -151,13 +151,15 @@ class PackedLoader:
         if not flip.any():
             return batch
         width = batch["image"].shape[2]
-        images = batch["image"].copy()
+        # __iter__ already materialized private per-batch copies (fancy
+        # indexing of the memory-map), so mutate in place — a second
+        # .copy() duplicated ~25 MB/batch at 512² b32 for nothing
+        images, boxes = batch["image"], batch["boxes"]
         images[flip] = images[flip, :, ::-1]
-        boxes = batch["boxes"].copy()
         # xywh: x -> W - x - w, only on real rows (padding stays zero)
         boxes[flip, :, 0] = (width - boxes[flip, :, 0]
                              - boxes[flip, :, 2]) * batch["mask"][flip]
-        return dict(batch, image=images, boxes=boxes)
+        return batch
 
     def __iter__(self):
         order = np.arange(self.n)

@@ -125,7 +125,7 @@ def normalize_config(config: Dict[str, Any]) -> Dict[str, Any]:
     if opt:
         new_model["optimizer_config"] = {
             "optimizer": opt.get("name", "SGD"),
-            **{k: v for k, v in opt.get("params", {}).items() if k != "momentum"},
+            **opt.get("params", {}),
         }
 
     out["model"] = new_model

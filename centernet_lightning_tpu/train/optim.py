@@ -94,6 +94,7 @@ def make_optimizer(
     max_epochs: int = 100,
     steps_per_epoch: int = 1000,
     gradient_clip_val: Optional[float] = None,
+    momentum: float = 0.9,
     **_ignored: Dict[str, Any],
 ) -> optax.GradientTransformation:
     """Build the full optax chain for a param tree.
@@ -111,7 +112,7 @@ def make_optimizer(
         if name == "sgd":
             return optax.chain(
                 optax.add_decayed_weights(wd, mask=mask),
-                optax.sgd(schedule, momentum=0.9),
+                optax.sgd(schedule, momentum=momentum),
             )
         if name == "adam":
             return optax.chain(
@@ -123,7 +124,7 @@ def make_optimizer(
         if name == "rmsprop":
             return optax.chain(
                 optax.add_decayed_weights(wd, mask=mask),
-                optax.rmsprop(schedule, momentum=0.9),
+                optax.rmsprop(schedule, momentum=momentum),
             )
         raise KeyError(f"unknown optimizer '{optimizer}'")
 

@@ -64,7 +64,8 @@ def _task_mean_std(task):
 
 def make_train_step(task, donate: bool = True,
                     compute_dtype: Optional[Any] = None,
-                    ema_decay: float = 0.0) -> Callable:
+                    ema_decay: float = 0.0,
+                    ema_every: int = 1) -> Callable:
     """Build the jitted train step.
 
     Delegates the forward+loss to `task.train_forward(variables, batch)`
@@ -136,10 +137,18 @@ def make_train_step(task, donate: bool = True,
         grads, (losses, new_bs) = jax.grad(loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads, new_bs)
         if ema_decay > 0 and state.ema_params is not None:
-            t = new_state.step.astype(jnp.float32)
+            # under gradient accumulation (optax.MultiSteps, ema_every=k)
+            # params change only every k-th micro-step: update the EMA
+            # there alone, and count UPDATES in the warmup — otherwise the
+            # effective decay per update compounds to decay^k, shortening
+            # the averaging horizon k-fold
+            t = (new_state.step // ema_every).astype(jnp.float32)
             d = jnp.minimum(jnp.float32(ema_decay), (1.0 + t) / (10.0 + t))
+            is_update = (new_state.step % ema_every) == 0 if ema_every > 1 \
+                else True
             new_state = new_state.replace(ema_params=jax.tree_util.tree_map(
-                lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+                lambda e, p: jnp.where(
+                    is_update, e * d + p.astype(e.dtype) * (1.0 - d), e),
                 state.ema_params, new_state.params))
         return new_state, losses
 

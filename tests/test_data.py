@@ -510,3 +510,50 @@ def test_collate_truncation_warns_once():
         warnings.simplefilter("always")
         c2([ok])
     assert not [w for w in caught2 if "DROPPED" in str(w.message)]
+
+
+class TestLoaderSharding:
+    """Multihost rank sharding of the generic DataLoader (round-3 review
+    finding: non-packed multihost loaders fed every host the full
+    dataset)."""
+
+    class _Range:
+        def __init__(self, n):
+            self.n = n
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            return i
+
+    def _loader(self, n, **kw):
+        from centernet_lightning_tpu.data.loader import DataLoader
+
+        return DataLoader(self._Range(n), batch_size=2, num_workers=0,
+                          collate_fn=list, **kw)
+
+    def test_shards_are_disjoint_and_cover_one_epoch(self):
+        a = self._loader(11, shuffle=True, seed=3, shard_id=0, num_shards=2)
+        b = self._loader(11, shuffle=True, seed=3, shard_id=1, num_shards=2)
+        got_a = [i for batch in a for i in batch]
+        got_b = [i for batch in b for i in batch]
+        # lockstep: both ranks see exactly n // shards items
+        assert len(got_a) == len(got_b) == 5
+        assert not set(got_a) & set(got_b)
+        assert len(a) == len(b)
+
+    def test_same_seed_same_global_permutation(self):
+        # shards slice ONE global permutation: rerunning rank 0 with the
+        # same seed/epoch reproduces its slice exactly
+        a1 = [i for batch in self._loader(8, shuffle=True, seed=5,
+                                          shard_id=0, num_shards=2)
+              for i in batch]
+        a2 = [i for batch in self._loader(8, shuffle=True, seed=5,
+                                          shard_id=0, num_shards=2)
+              for i in batch]
+        assert a1 == a2
+
+    def test_unsharded_unchanged(self):
+        got = [i for batch in self._loader(5, shuffle=False) for i in batch]
+        assert got == list(range(5))

@@ -250,3 +250,48 @@ def test_resume_ema_checkpoint_into_no_ema_run(tmp_path, rng):
     for a, b in zip(jax.tree_util.tree_leaves(resumed.state.params),
                     jax.tree_util.tree_leaves(tree["params"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_ema_updates_once_per_optimizer_update_under_accumulation(rng):
+    """With accumulate_grad_batches=k (optax.MultiSteps) the EMA must
+    update once per OPTIMIZER update, not per micro-step (round-3 review
+    finding: per-micro-step updates compound the decay to decay^k)."""
+    import optax
+
+    task = tiny_task()
+    variables = task.init(jax.random.PRNGKey(0), image_size=(IMG, IMG))
+    k, decay = 2, 0.9
+    tx = optax.MultiSteps(
+        make_optimizer(variables["params"], optimizer="SGD", lr=1e-2,
+                       max_epochs=1, steps_per_epoch=10, warmup_epochs=0),
+        every_k_schedule=k)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]), tx=tx,
+        ema_params=jax.tree_util.tree_map(jnp.copy, variables["params"]))
+    step_fn = make_train_step(task, donate=False, ema_decay=decay,
+                              ema_every=k)
+    batch = tiny_batch(rng)
+
+    p0 = jax.device_get(state.params)
+    e0 = jax.device_get(state.ema_params)
+    state, _ = step_fn(state, batch)   # micro-step 1: params frozen
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(state.ema_params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(e0)[0]))
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(p0)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    state, _ = step_fn(state, batch)   # micro-step 2: real update + EMA
+    t = 1.0                            # one optimizer update so far
+    d = min(decay, (1.0 + t) / (10.0 + t))
+    for e_new, e_old, p_new in zip(
+            jax.tree_util.tree_leaves(state.ema_params),
+            jax.tree_util.tree_leaves(e0),
+            jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_allclose(
+            np.asarray(e_new),
+            np.asarray(e_old) * d + np.asarray(p_new) * (1 - d),
+            rtol=2e-6, atol=1e-7)
