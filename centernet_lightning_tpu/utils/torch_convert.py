@@ -158,8 +158,22 @@ def _collect_flax_slots(params, stats, path=()) -> List[Dict[str, Any]]:
     if not isinstance(params, dict):
         raise TypeError(f"unexpected leaf at {'/'.join(path)}")
     leaves = {k: v for k, v in params.items() if not isinstance(v, dict)}
+    children = {k: v for k, v in params.items() if isinstance(v, dict)}
     if "kernel" in leaves:
         kern = leaves["kernel"]
+        if children:
+            # composite block owning a kernel AND submodules — the
+            # DeformableConvBlock: its offset/mask convs (Conv_0/Conv_1)
+            # run before the deform kernel, matching the torch module's
+            # parameter order (reference layers.py:9-38). The kernel is a
+            # tap-major (k*k*in, out) matmul == torchvision DeformConv2d's
+            # (out, in, k, k) weight.
+            for key in sorted(children, key=_natural_key):
+                slots.extend(
+                    _collect_flax_slots(children[key], stats, path + (key,)))
+            slots.append({"kind": "dcn", "path": path, "shape": kern.shape,
+                          "has_bias": "bias" in leaves})
+            return slots
         kind = ("conv_transpose" if any("ConvTranspose" in p for p in path)
                 else "conv" if kern.ndim == 4 else "dense")
         slots.append({"kind": kind, "path": path, "shape": kern.shape,
@@ -201,6 +215,11 @@ def _unit_matches(slot, unit) -> bool:
                 and np.transpose(unit["weight"], (2, 3, 0, 1)).shape == slot["shape"])
     if slot["kind"] == "dense":
         return unit["kind"] == "dense" and unit["weight"].T.shape == slot["shape"]
+    if slot["kind"] == "dcn":
+        if unit["kind"] != "conv":
+            return False
+        o, i, kh, kw = unit["weight"].shape
+        return (kh * kw * i, o) == tuple(slot["shape"])
     if slot["kind"] == "vector":
         return unit["kind"] == "vector" and unit["weight"].shape == slot["shape"]
     return False
@@ -244,15 +263,26 @@ def convert_module_by_order(
             if slot["has_stats"]:
                 _set_path(stats, slot["path"],
                           {"mean": unit["mean"], "var": unit["var"]})
-        elif slot["kind"] in ("conv", "conv_transpose", "dense"):
+        elif slot["kind"] in ("conv", "conv_transpose", "dense", "dcn"):
             if slot["kind"] == "conv":
                 kernel = np.transpose(unit["weight"], (2, 3, 1, 0))
             elif slot["kind"] == "conv_transpose":
                 # verified: torch ConvTranspose2d == flax ConvTranspose with
                 # (in,out,kh,kw)->(kh,kw,in,out) + spatial flip
                 kernel = np.transpose(unit["weight"], (2, 3, 0, 1))[::-1, ::-1].copy()
+            elif slot["kind"] == "dcn":
+                # DeformConv2d (out,in,kh,kw) -> tap-major (kh*kw*in, out):
+                # row ((ty*kw+tx)*in + ci), matching DeformableConvBlock's
+                # per-tap kernel[t*c:(t+1)*c] blocks (models/layers.py)
+                w = unit["weight"]
+                kernel = np.transpose(w, (2, 3, 1, 0)).reshape(-1, w.shape[0])
             else:
                 kernel = unit["weight"].T
+            if slot["kind"] == "dcn":
+                # the block node also holds the offset/mask child convs
+                # already written above — merge, don't replace the subtree
+                _set_path(params, slot["path"] + ("kernel",), kernel)
+                continue
             leaf = {"kernel": kernel}
             if slot["has_bias"]:
                 if unit["bias"] is None:

@@ -604,3 +604,59 @@ def test_convert_checkpoint_cli_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(
         t_out["heatmap"].numpy().transpose(0, 2, 3, 1),
         np.asarray(f_out["heatmap"]), rtol=1e-3, atol=1e-4)
+
+
+def test_dcn_block_converts_structurally_and_numerically(rng):
+    """DeformableConvBlock conversion (round-3 review finding: the slot
+    collector early-returned on the block's own `kernel` and dropped the
+    offset/mask child convs). Numeric oracle: a v1 block with ZERO offset
+    weights samples the identity taps, so the converted block must equal
+    a plain 3x3 conv with the torch DeformConv2d weight (pins the
+    tap-major (k*k*in, out) reshape exactly), followed by eval BN."""
+    import jax
+    import jax.numpy as jnp
+
+    from centernet_lightning_tpu.models.layers import DeformableConvBlock
+    from centernet_lightning_tpu.utils.torch_convert import (
+        convert_module_by_order,
+    )
+
+    c_in, c_out = 4, 8
+    block = DeformableConvBlock(c_out, version=1)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, c_in)).astype(np.float32))
+    template = block.init(jax.random.PRNGKey(0), x, train=False)
+
+    # reference-layout torch state dict (registration order: offset conv,
+    # deform conv, bn — reference layers.py:9-38 + make_conv BN)
+    w_off = np.zeros((2 * 9, c_in, 3, 3), np.float32)
+    b_off = np.zeros((2 * 9,), np.float32)
+    w_dcn = rng.normal(size=(c_out, c_in, 3, 3)).astype(np.float32)
+    bn_w = rng.uniform(0.5, 1.5, c_out).astype(np.float32)
+    bn_b = rng.normal(size=c_out).astype(np.float32)
+    bn_m = rng.normal(size=c_out).astype(np.float32) * 0.1
+    bn_v = rng.uniform(0.5, 1.5, c_out).astype(np.float32)
+    sd = {
+        "offset_conv.weight": w_off, "offset_conv.bias": b_off,
+        "conv.weight": w_dcn,
+        "bn.weight": bn_w, "bn.bias": bn_b,
+        "bn.running_mean": bn_m, "bn.running_var": bn_v,
+        "bn.num_batches_tracked": np.zeros((), np.int64),
+    }
+    params, stats = convert_module_by_order(
+        sd, template["params"], template.get("batch_stats"))
+
+    assert params["kernel"].shape == (9 * c_in, c_out)
+    np.testing.assert_array_equal(params["Conv_0"]["kernel"],
+                                  np.transpose(w_off, (2, 3, 1, 0)))
+
+    out = block.apply({"params": params, "batch_stats": stats}, x,
+                      train=False)
+
+    # oracle: plain conv with the torch weight + eval BN + relu
+    ref = jax.lax.conv_general_dilated(
+        x, jnp.asarray(np.transpose(w_dcn, (2, 3, 1, 0))), (1, 1),
+        ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    ref = (ref - bn_m) / np.sqrt(bn_v + 1e-5) * bn_w + bn_b
+    ref = jnp.maximum(ref, 0.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
