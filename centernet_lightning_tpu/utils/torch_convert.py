@@ -278,18 +278,21 @@ def convert_module_by_order(
                 kernel = np.transpose(w, (2, 3, 1, 0)).reshape(-1, w.shape[0])
             else:
                 kernel = unit["weight"].T
-            if slot["kind"] == "dcn":
-                # the block node also holds the offset/mask child convs
-                # already written above — merge, don't replace the subtree
-                _set_path(params, slot["path"] + ("kernel",), kernel)
-                continue
-            leaf = {"kernel": kernel}
             if slot["has_bias"]:
                 if unit["bias"] is None:
                     raise ValueError(
                         f"flax {'/'.join(slot['path'])} needs a bias but torch "
                         f"unit '{unit['name']}' has none"
                     )
+            if slot["kind"] == "dcn":
+                # the block node also holds the offset/mask child convs
+                # already written above — merge, don't replace the subtree
+                _set_path(params, slot["path"] + ("kernel",), kernel)
+                if slot["has_bias"]:
+                    _set_path(params, slot["path"] + ("bias",), unit["bias"])
+                continue
+            leaf = {"kernel": kernel}
+            if slot["has_bias"]:
                 leaf["bias"] = unit["bias"]
             _set_path(params, slot["path"], leaf)
         else:  # vector

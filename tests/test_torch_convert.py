@@ -660,3 +660,43 @@ def test_dcn_block_converts_structurally_and_numerically(rng):
     ref = jnp.maximum(ref, 0.0)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_dcn_block_without_norm_converts_bias(rng):
+    """A no-norm DeformableConvBlock owns its own `bias` leaf
+    (models/layers.py:269). Round-3 review finding: the converter's dcn
+    merge branch `continue`d before bias handling, silently leaving the
+    flax bias at zeros. Numeric oracle as above plus the bias term."""
+    import jax
+    import jax.numpy as jnp
+
+    from centernet_lightning_tpu.models.layers import DeformableConvBlock
+    from centernet_lightning_tpu.utils.torch_convert import (
+        convert_module_by_order,
+    )
+
+    c_in, c_out = 4, 8
+    block = DeformableConvBlock(c_out, version=1, use_norm=False)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, c_in)).astype(np.float32))
+    template = block.init(jax.random.PRNGKey(0), x, train=False)
+    assert "bias" in template["params"], "no-norm block must own a bias"
+
+    w_off = np.zeros((2 * 9, c_in, 3, 3), np.float32)
+    b_off = np.zeros((2 * 9,), np.float32)
+    w_dcn = rng.normal(size=(c_out, c_in, 3, 3)).astype(np.float32)
+    b_dcn = rng.normal(size=c_out).astype(np.float32)
+    sd = {
+        "offset_conv.weight": w_off, "offset_conv.bias": b_off,
+        "conv.weight": w_dcn, "conv.bias": b_dcn,
+    }
+    params, stats = convert_module_by_order(
+        sd, template["params"], template.get("batch_stats"))
+    np.testing.assert_array_equal(params["bias"], b_dcn)
+
+    out = block.apply({"params": params}, x, train=False)
+    ref = jax.lax.conv_general_dilated(
+        x, jnp.asarray(np.transpose(w_dcn, (2, 3, 1, 0))), (1, 1),
+        ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    ref = jnp.maximum(ref + b_dcn, 0.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
