@@ -270,7 +270,7 @@ def main():
                                         args.quantize_n,
                                         predictor.image_size)
         predictor = predictor.quantize(calib)
-        print(f"int8 serving: calibrated on {len(names)} images",
+        print(f"int8 serving: calibrated on {len(calib)} images",
               file=sys.stderr)
 
     class_names = None
