@@ -11,7 +11,14 @@ from .efficientnet import (
     efficientnet_b2,
     efficientnet_b3,
 )
-from .mobilenet import MobileNetV2, MobileNetV3Large, mobilenet_v2, mobilenet_v3_large
+from .mobilenet import (
+    MobileNetV2,
+    MobileNetV3Large,
+    MobileNetV3Small,
+    mobilenet_v2,
+    mobilenet_v3_large,
+    mobilenet_v3_small,
+)
 from .resnet import ResNet, resnet18, resnet34, resnet50, resnet101
 from .vovnet import VoVNet, vovnet19, vovnet39, vovnet57
 
@@ -24,6 +31,8 @@ BACKBONES = {
     "mobilenetv2": mobilenet_v2,
     "mobilenet_v3_large": mobilenet_v3_large,
     "mobilenetv3_large": mobilenet_v3_large,
+    "mobilenet_v3_small": mobilenet_v3_small,
+    "mobilenetv3_small": mobilenet_v3_small,
     "cspdarknet53": cspdarknet53,
     "darknet53": darknet53,
     "vovnet19": vovnet19,

@@ -1,9 +1,11 @@
-"""MobileNetV2 / V3-large backbones (flax.linen, NHWC).
+"""MobileNetV2 / V3-large / V3-small backbones (flax.linen, NHWC).
 
 Replaces the torchvision mobilenets used through vision_toolbox by the
 reference (configs/helmet.yaml uses mobilenet_v2; docs/experiments.md:88-98
-reports V2 and V3-large results). torchvision-compatible stage layout so
-checkpoints convert; pyramid taps at strides 4/8/16/32.
+reports V2 and V3-large results; the reference backbone test grid also
+includes v3_small, reference tests/test_backbones.py:29-32).
+torchvision-compatible stage layout so checkpoints convert; pyramid taps at
+strides 4/8/16/32.
 """
 from __future__ import annotations
 
@@ -14,7 +16,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-__all__ = ["MobileNetV2", "MobileNetV3Large", "mobilenet_v2", "mobilenet_v3_large"]
+__all__ = ["MobileNetV2", "MobileNetV3Large", "MobileNetV3Small",
+           "mobilenet_v2", "mobilenet_v3_large", "mobilenet_v3_small"]
 
 
 def _make_divisible(v: int, divisor: int = 8) -> int:
@@ -183,5 +186,35 @@ class MobileNetV3Large(nn.Module):
         return features[-4:]
 
 
+class MobileNetV3Small(MobileNetV3Large):
+    """torchvision MobileNetV3-Small layout; taps at strides 4/8/16/32.
+
+    Same stem (16ch, hard-swish) and blocks as V3-Large; only the stage
+    table differs (torchvision mobilenetv3 _mobilenet_v3_conf "small").
+    The first block is stride-2 with SE, so the stride-4 tap is its 16ch
+    output.
+    """
+
+    # kernel, expand_c, out_c, se, act, stride
+    _cfg = (
+        (3, 16, 16, True, "relu", 2),
+        (3, 72, 24, False, "relu", 2),
+        (3, 88, 24, False, "relu", 1),
+        (5, 96, 40, True, "hswish", 2),
+        (5, 240, 40, True, "hswish", 1),
+        (5, 240, 40, True, "hswish", 1),
+        (5, 120, 48, True, "hswish", 1),
+        (5, 144, 48, True, "hswish", 1),
+        (5, 288, 96, True, "hswish", 2),
+        (5, 576, 96, True, "hswish", 1),
+        (5, 576, 96, True, "hswish", 1),
+    )
+
+    @property
+    def out_channels(self) -> List[int]:
+        return [16, 24, 48, 96]
+
+
 mobilenet_v2 = partial(MobileNetV2)
 mobilenet_v3_large = partial(MobileNetV3Large)
+mobilenet_v3_small = partial(MobileNetV3Small)

@@ -23,7 +23,8 @@ def key():
 
 
 @pytest.mark.parametrize("name", BACKBONE_NAMES + ["vovnet39", "cspdarknet53",
-                                                   "dla34", "efficientnet_b0"])
+                                                   "dla34", "efficientnet_b0",
+                                                   "mobilenet_v3_small"])
 def test_backbone_pyramid_shapes(key, name):
     bb = build_backbone(name)
     assert bb.stride == 32
@@ -77,6 +78,28 @@ def test_dla34_structure(key):
 
     feats = bb.apply(variables, x, train=False)
     assert all(bool(jnp.isfinite(f).all()) for f in feats)
+
+
+def test_mobilenet_v3_small_structure(key):
+    """MobileNetV3-Small (reference backbone grid,
+    tests/test_backbones.py:29-32): torchvision-exact trunk — param budget
+    (~0.87M through the last bneck, before the 576 head conv/classifier),
+    SE on the first stride-2 block with _make_divisible squeeze width 8,
+    and tap widths [16, 24, 48, 96]."""
+    bb = build_backbone("mobilenet_v3_small")
+    assert bb.out_channels == [16, 24, 48, 96]
+    x = jnp.zeros((1, IMG, IMG, 3))
+    variables = bb.init(key, x, train=False)
+    n_params = sum(p.size for p in jax.tree_util.tree_leaves(
+        variables["params"]))
+    assert 0.8e6 < n_params < 1.0e6, n_params / 1e6
+
+    # first block: expand==in (16) so no expansion conv, SE squeeze = 8
+    blk0 = variables["params"]["InvertedResidual_0"]
+    se_kernel = blk0["SqueezeExcite_0"]["Conv_0"]["kernel"]
+    assert se_kernel.shape == (1, 1, 16, 8), se_kernel.shape
+    assert not any(k.startswith("ConvBN_2") for k in blk0), (
+        "16->16 expand must skip the expansion conv (torchvision parity)")
 
 
 def test_centernet_dla34_forward(key):
