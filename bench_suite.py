@@ -77,6 +77,12 @@ CONFIGS = {
         neck_config={"out_channels": 96, "conv_type": "separable"},
         head_config={"width": 96, "depth": 2},
     ),
+    "mobilenetv3s_sep": dict(               # reference test-grid backbone:
+        backbone="mobilenet_v3_small",      # V3-small + sep FPN
+        neck="FPN",
+        neck_config={"out_channels": 96, "conv_type": "separable"},
+        head_config={"width": 96, "depth": 2},
+    ),
     "fairmot_mot17": dict(                  # MOT17 recipe: 1 class + 64-dim
         backbone="resnet34", neck="FPN",    # ReID head @608x1088 (reference
         neck_config={"out_channels": 256},  # configs/mot_tracking.yaml)
