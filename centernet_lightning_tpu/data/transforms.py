@@ -271,6 +271,34 @@ class Normalize(Transform):
         return sample
 
 
+class Cutout(Transform):
+    """Mask out `num_holes` fixed-size rectangles (albumentations Cutout
+    semantics: hole centers uniform over the image, windows clipped at the
+    borders, boxes/labels untouched). Named by the reference tracking
+    configs (reference configs/mot_tracking.yaml:78-82,
+    configs/crowdhuman_tracking.yaml:67-70: 10 holes of 60x60)."""
+
+    def __init__(self, num_holes: int = 8, max_h_size: int = 8,
+                 max_w_size: int = 8, fill_value: float = 0, p: float = 0.5):
+        self.num_holes, self.fill_value, self.p = num_holes, fill_value, p
+        self.max_h_size, self.max_w_size = max_h_size, max_w_size
+
+    def apply(self, sample, rng):
+        img = sample["image"].copy()
+        h, w = img.shape[:2]
+        fill = np.asarray(self.fill_value, img.dtype)
+        for _ in range(self.num_holes):
+            cy = int(rng.integers(0, h + 1))
+            cx = int(rng.integers(0, w + 1))
+            y1 = np.clip(cy - self.max_h_size // 2, 0, h)
+            y2 = np.clip(cy + self.max_h_size // 2, 0, h)
+            x1 = np.clip(cx - self.max_w_size // 2, 0, w)
+            x2 = np.clip(cx + self.max_w_size // 2, 0, w)
+            img[y1:y2, x1:x2] = fill
+        sample["image"] = img
+        return sample
+
+
 def _affine_matrix(w: int, h: int, rotate: float = 0.0, shear_x: float = 0.0,
                    shear_y: float = 0.0, tx: float = 0.0, ty: float = 0.0):
     """2x3 affine about the image center: rotate(deg) @ shear(deg) then
@@ -447,7 +475,7 @@ TRANSFORMS = {
     for cls in (
         Resize, SmallestMaxSize, LongestMaxSize, RandomCrop, CenterCrop,
         RandomResizedCrop, PadIfNeeded, HorizontalFlip, VerticalFlip,
-        ColorJitter, Normalize, Affine, TrivialAugmentWide,
+        ColorJitter, Normalize, Cutout, Affine, TrivialAugmentWide,
     )
 }
 

@@ -127,6 +127,12 @@ def normalize_config(config: Dict[str, Any]) -> Dict[str, Any]:
             "optimizer": opt.get("name", "SGD"),
             **opt.get("params", {}),
         }
+    sched = model.get("lr_scheduler")
+    if sched:
+        # Gen-A scheduler block ({name: OneCycleLR, params: {max_lr}} —
+        # reference configs/base_resnet34.yaml:33-36); resolved by
+        # train/optim.py resolve_schedule
+        new_model.setdefault("optimizer_config", {})["lr_scheduler"] = sched
 
     out["model"] = new_model
 

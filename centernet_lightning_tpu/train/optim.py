@@ -7,6 +7,10 @@ Reproduces the reference's optimization surface
    `weight_decay` (torchvision recipe, meta.py:136-149)
  - LinearLR warmup (start factor `warmup_decay` over `warmup_epochs`)
    chained into CosineAnnealingLR over the remaining epochs (meta.py:154-161)
+ - OneCycleLR (the Gen-A `lr_scheduler` named by four reference configs,
+   e.g. configs/base_resnet34.yaml:33-36: max_lr 0.02) — torch's cos
+   annealing curve exactly; torch's default momentum cycling is NOT
+   applied (momentum stays constant), which only matters for SGD/RMSprop
  - optional global-norm gradient clipping (the Gen-A `gradient_clip_val`,
    configs/base_resnet34.yaml:94)
 
@@ -20,7 +24,8 @@ from typing import Any, Dict, Optional
 
 import optax
 
-__all__ = ["make_optimizer", "make_lr_schedule", "schedule_from_config"]
+__all__ = ["make_optimizer", "make_lr_schedule", "make_onecycle_schedule",
+           "schedule_from_config"]
 
 
 def _is_norm_param(path) -> bool:
@@ -66,6 +71,64 @@ def make_lr_schedule(
     return schedule
 
 
+def make_onecycle_schedule(
+    max_lr: float,
+    total_steps: int,
+    pct_start: float = 0.3,
+    div_factor: float = 25.0,
+    final_div_factor: float = 1e4,
+):
+    """torch.optim.lr_scheduler.OneCycleLR with anneal_strategy='cos',
+    three_phase=False: cos-anneal max_lr/div_factor -> max_lr over the first
+    pct_start of the run, then max_lr -> max_lr/(div_factor*final_div_factor)
+    over the rest. `step` counts optimizer updates (torch's last_epoch)."""
+    initial_lr = max_lr / div_factor
+    min_lr = initial_lr / final_div_factor
+    # torch phase boundaries: the warmup ends AT step pct_start*total-1
+    up_end = max(float(pct_start * total_steps) - 1.0, 1e-8)
+    down_len = max(float(total_steps) - 1.0 - up_end, 1e-8)
+
+    def _cos(start, end, pct, xp):
+        return end + (start - end) * 0.5 * (1.0 + xp.cos(math.pi * pct))
+
+    def schedule(step):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        xp = jnp if isinstance(step, jax.Array) else np
+        s = xp.asarray(step, xp.float32)
+        up = _cos(initial_lr, max_lr, xp.clip(s / up_end, 0.0, 1.0), xp)
+        down = _cos(max_lr, min_lr,
+                    xp.clip((s - up_end) / down_len, 0.0, 1.0), xp)
+        return xp.where(s <= up_end, up, down)
+
+    return schedule
+
+
+def resolve_schedule(
+    lr: float,
+    max_epochs: int,
+    steps_per_epoch: int,
+    warmup_epochs: int = 5,
+    warmup_decay: float = 0.01,
+    lr_scheduler: Optional[Dict[str, Any]] = None,
+):
+    """Pick the step->lr function from an optional Gen-A `lr_scheduler`
+    config ({name, params}); default is the live path's warmup+cosine."""
+    name = (lr_scheduler or {}).get("name", "").lower()
+    params = dict((lr_scheduler or {}).get("params") or {})
+    if name in ("", "cosineannealinglr", "cosine"):
+        return make_lr_schedule(lr, max_epochs, steps_per_epoch,
+                                warmup_epochs, warmup_decay)
+    if name in ("onecyclelr", "one_cycle", "onecycle"):
+        params.setdefault("max_lr", lr)
+        params.setdefault("total_steps", max_epochs * steps_per_epoch)
+        return make_onecycle_schedule(**params)
+    raise KeyError(f"unknown lr_scheduler '{name}' "
+                   "(known: CosineAnnealingLR, OneCycleLR)")
+
+
 def schedule_from_config(opt_cfg: Dict[str, Any], max_epochs: int,
                          steps_per_epoch: int):
     """The LR schedule `make_optimizer(**opt_cfg)` builds internally, as a
@@ -79,8 +142,9 @@ def schedule_from_config(opt_cfg: Dict[str, Any], max_epochs: int,
     def get(key):
         return opt_cfg.get(key, sig[key].default)
 
-    return make_lr_schedule(get("lr"), max_epochs, steps_per_epoch,
-                            get("warmup_epochs"), get("warmup_decay"))
+    return resolve_schedule(get("lr"), max_epochs, steps_per_epoch,
+                            get("warmup_epochs"), get("warmup_decay"),
+                            get("lr_scheduler"))
 
 
 def make_optimizer(
@@ -95,6 +159,7 @@ def make_optimizer(
     steps_per_epoch: int = 1000,
     gradient_clip_val: Optional[float] = None,
     momentum: float = 0.9,
+    lr_scheduler: Optional[Dict[str, Any]] = None,
     **_ignored: Dict[str, Any],
 ) -> optax.GradientTransformation:
     """Build the full optax chain for a param tree.
@@ -103,8 +168,9 @@ def make_optimizer(
     """
     import jax
 
-    schedule = make_lr_schedule(
-        lr, max_epochs, steps_per_epoch, warmup_epochs, warmup_decay
+    schedule = resolve_schedule(
+        lr, max_epochs, steps_per_epoch, warmup_epochs, warmup_decay,
+        lr_scheduler
     )
 
     def build(wd: float, mask) -> optax.GradientTransformation:
