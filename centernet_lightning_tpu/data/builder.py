@@ -44,7 +44,12 @@ def build_dataset(config: Dict[str, Any], seed: Optional[int] = None):
 
     config = dict(config)
     ds_type = config.pop("type")
-    transforms_cfg = list(config.pop("transforms", None) or [])
+    transforms_cfg = config.pop("transforms", None) or []
+    if isinstance(transforms_cfg, dict):
+        # Gen-A mapping form {Name: params}
+        transforms_cfg = [{"name": n, "params": p}
+                          for n, p in transforms_cfg.items()]
+    transforms_cfg = list(transforms_cfg)
     wrap_tracking = config.pop("detection_for_tracking", False)
     mosaic_cfg = config.pop("mosaic", None)
 

@@ -26,8 +26,8 @@ IMAGENET_STD = (0.229, 0.224, 0.225)
 __all__ = [
     "Compose", "Resize", "SmallestMaxSize", "LongestMaxSize", "RandomCrop",
     "CenterCrop", "RandomResizedCrop", "PadIfNeeded", "HorizontalFlip",
-    "VerticalFlip", "ColorJitter", "Normalize", "Affine",
-    "TrivialAugmentWide", "TRANSFORMS", "build_transforms",
+    "VerticalFlip", "ColorJitter", "Normalize", "Cutout", "MotionBlur",
+    "Affine", "TrivialAugmentWide", "TRANSFORMS", "build_transforms",
 ]
 
 
@@ -290,12 +290,47 @@ class Cutout(Transform):
         for _ in range(self.num_holes):
             cy = int(rng.integers(0, h + 1))
             cx = int(rng.integers(0, w + 1))
+            # albumentations clips the top-left corner first, then extends
+            # by the FULL hole size (holes shift inward at the top/left
+            # borders instead of shrinking, and odd sizes stay exact)
             y1 = np.clip(cy - self.max_h_size // 2, 0, h)
-            y2 = np.clip(cy + self.max_h_size // 2, 0, h)
+            y2 = np.clip(y1 + self.max_h_size, 0, h)
             x1 = np.clip(cx - self.max_w_size // 2, 0, w)
-            x2 = np.clip(cx + self.max_w_size // 2, 0, w)
+            x2 = np.clip(x1 + self.max_w_size, 0, w)
             img[y1:y2, x1:x2] = fill
         sample["image"] = img
+        return sample
+
+
+class MotionBlur(Transform):
+    """Directional blur with a random line kernel (albumentations
+    MotionBlur semantics: odd kernel size drawn from blur_limit, a line
+    between two random kernel cells, normalized, cv2.filter2D). Named by
+    the reference CrowdHuman recipe
+    (reference configs/crowdhuman_tracking.yaml:55-56: blur_limit [3, 15]).
+    Boxes/labels untouched (image-only op)."""
+
+    def __init__(self, blur_limit=(3, 7), p: float = 0.5):
+        if isinstance(blur_limit, (int, float)):
+            blur_limit = (3, int(blur_limit))
+        self.blur_limit = (int(blur_limit[0]), int(blur_limit[1]))
+        if self.blur_limit[0] < 3:
+            raise ValueError(f"blur_limit must start >= 3, got {blur_limit}")
+        self.p = p
+
+    def apply(self, sample, rng):
+        lo, hi = self.blur_limit
+        ksize = int(rng.integers(lo // 2, hi // 2 + 1)) * 2 + 1  # odd in [lo|1, hi]
+        kernel = np.zeros((ksize, ksize), np.float32)
+        # random line through two distinct points (albumentations draws two
+        # random cells and connects them)
+        x1, y1, x2, y2 = (int(rng.integers(0, ksize)) for _ in range(4))
+        if (x1, y1) == (x2, y2):
+            x2 = (x1 + 1) % ksize
+        cv2.line(kernel, (x1, y1), (x2, y2), 1.0, thickness=1)
+        kernel /= max(kernel.sum(), 1e-6)
+        img = sample["image"]
+        sample["image"] = cv2.filter2D(img, -1, kernel).astype(img.dtype)
         return sample
 
 
@@ -475,18 +510,32 @@ TRANSFORMS = {
     for cls in (
         Resize, SmallestMaxSize, LongestMaxSize, RandomCrop, CenterCrop,
         RandomResizedCrop, PadIfNeeded, HorizontalFlip, VerticalFlip,
-        ColorJitter, Normalize, Cutout, Affine, TrivialAugmentWide,
+        ColorJitter, Normalize, Cutout, MotionBlur, Affine,
+        TrivialAugmentWide,
     )
 }
 
 
-def build_transforms(config: Optional[List[Dict]], seed: Optional[int] = None) -> Compose:
+def build_transforms(config, seed: Optional[int] = None) -> Compose:
     """[{name, init_args|params}] -> Compose. The reference's
     parse_albumentations_transforms (coco.py:103-113) / parse_transforms
-    (builder.py:46) config surface."""
+    (builder.py:46) config surface. The Gen-A mapping form
+    {Name: {params}} (reference configs/crowdhuman_tracking.yaml:53-70,
+    test_config.yaml:55-63) is accepted too."""
+    if isinstance(config, dict):
+        config = [{"name": name, "params": params}
+                  for name, params in config.items()]
     transforms = []
     for item in config or []:
+        if not isinstance(item, dict) or "name" not in item:
+            raise ValueError(
+                f"transform entry {item!r} has no 'name'; use "
+                f"{{name: X, params: {{...}}}} or the mapping form "
+                f"{{X: {{...}}}}")
         name = item["name"]
+        if name not in TRANSFORMS and name != "Mosaic":
+            raise KeyError(f"unknown transform {name!r} "
+                           f"(known: {sorted(TRANSFORMS)})")
         if name == "Mosaic":
             raise ValueError(
                 "Mosaic needs to see 4 samples and is a dataset wrapper, "

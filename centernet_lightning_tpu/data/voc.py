@@ -54,11 +54,21 @@ class VOCDataset:
         split: str = "train",
         transforms: Optional[Callable] = None,
         class_names: Optional[List[str]] = None,
+        name_to_label: Optional[Dict[str, int]] = None,
     ):
         self.data_dir = data_dir
         self.transforms = transforms
-        self.class_names = class_names or VOC_CLASSES
-        self.name_to_label = {n: i for i, n in enumerate(self.class_names)}
+        if name_to_label:
+            # the Gen-A config spelling (reference configs/helmet.yaml:24-26:
+            # name_to_label: {person: 0, hat: 1}); classes ordered by label
+            self.name_to_label = dict(name_to_label)
+            self.class_names = [
+                n for n, _ in sorted(self.name_to_label.items(),
+                                     key=lambda kv: kv[1])
+            ]
+        else:
+            self.class_names = class_names or VOC_CLASSES
+            self.name_to_label = {n: i for i, n in enumerate(self.class_names)}
         self.num_classes = len(self.class_names)
 
         split_file = os.path.join(data_dir, "ImageSets", "Main", f"{split}.txt")
