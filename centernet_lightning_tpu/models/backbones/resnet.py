@@ -127,6 +127,13 @@ class ResNet(nn.Module):
     #   because the transform is exact and other TPU generations differ.
     remat: bool = False  # gradient checkpointing per block (jax.checkpoint):
     #                      trades recompute for activation memory on big batches
+    frozen_stages: int = 0  # Gen-A finetune knob (reference
+    #   configs/mot_tracking.yaml:7 `frozen_stages: 4`): freeze the stem and
+    #   the first k stages — their BatchNorms run on running stats even in
+    #   train mode (torch `.eval()` freeze semantics) and a stop_gradient at
+    #   the boundary skips their backward pass entirely. The matching
+    #   optimizer mask (train/optim.py frozen_stages) zeroes their updates
+    #   so weight decay can't silently shrink frozen weights.
 
     @property
     def out_channels(self) -> List[int]:
@@ -136,9 +143,10 @@ class ResNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
         # stem: 7x7/2 (space-to-depth form by default) + BN + ReLU + 3x3/2 maxpool
+        stem_train = train and self.frozen_stages < 1
         x = StemConv(self.width, space_to_depth=self.stem_space_to_depth,
                      name="stem_conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+        x = nn.BatchNorm(use_running_average=not stem_train, momentum=0.9, epsilon=1e-5,
                          name="stem_bn")(x)
         x = nn.relu(x)
         # fused reduce_window is the MEASURED best form of this pool
@@ -156,14 +164,19 @@ class ResNet(nn.Module):
         # static_argnums=(2,): `train` flag must stay a Python bool
         block_cls = (nn.remat(self.block_cls, static_argnums=(2,))
                      if self.remat else self.block_cls)
+        if self.frozen_stages >= 1:
+            x = jax.lax.stop_gradient(x)
         features = []
         for stage, num_blocks in enumerate(self.stage_sizes):
+            stage_train = train and (stage + 1) > self.frozen_stages
             for block in range(num_blocks):
                 strides = 2 if stage > 0 and block == 0 else 1
                 x = block_cls(
                     self.width * (2 ** stage), strides=strides,
                     name=f"layer{stage + 1}_block{block}",
-                )(x, train)
+                )(x, stage_train)
+            if (stage + 1) <= self.frozen_stages:
+                x = jax.lax.stop_gradient(x)
             features.append(x)
         return features
 

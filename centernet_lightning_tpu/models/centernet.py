@@ -70,6 +70,10 @@ class CenterNet:
     # checkpoint rebuilds a predictor at the resolution it was trained at
     # (InferenceDataset resizes to this; stride-32 divisible)
     image_size: Any = (512, 512)
+    # input channel count (the Gen-A backbone.input_channels knob,
+    # reference configs/test_config.yaml:6); only shapes the init dummy —
+    # convs infer their in-channels from the first input
+    input_channels: int = 3
 
     # data + optimizer passthrough (consumed by the trainer/CLI layers)
     train_data: Optional[Dict[str, Any]] = None
@@ -112,7 +116,8 @@ class CenterNet:
         # resolution without every caller re-passing it
         if image_size is None:
             image_size = self.image_size
-        dummy = jnp.zeros((batch_size, *image_size, 3), jnp.float32)
+        dummy = jnp.zeros((batch_size, *image_size, self.input_channels),
+                          jnp.float32)
         # jit the whole init into ONE device program: eager init dispatches
         # thousands of tiny ops, which costs minutes at the axon tunnel's
         # ~20ms/dispatch (measured 276s eager vs <10s jitted for

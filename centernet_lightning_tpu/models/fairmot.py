@@ -48,7 +48,10 @@ class FairMOT(CenterNet):
     def train_forward(self, variables, batch):
         """One-apply forward computing detection + ReID losses.
 
-        batch adds 'ids' (N, K) to the detection contract.
+        batch adds 'ids' (N, K) to the detection contract. The identity
+        objective follows reid_config['loss_function']: 'ce' (default —
+        classifier cross-entropy, fairmot.py:56-59) or 'triplet' (margin
+        loss on the embeddings themselves, reference reid_loss.py:27-43).
         """
         n, in_h, in_w, _ = batch["image"].shape
         out_w = in_w // self.stride
@@ -62,14 +65,20 @@ class FairMOT(CenterNet):
         )
         losses = self.compute_loss(outputs, batch)
 
-        # identity cross-entropy, masked over padding (fairmot.py:56-59) —
-        # the canonical implementation lives in ops.losses (one source)
-        from ..ops.losses import reid_cross_entropy_loss
+        # canonical loss implementations live in ops.losses (one source)
+        from ..ops.decode import gather_at_indices
+        from ..ops.losses import reid_cross_entropy_loss, reid_triplet_loss
 
         ids = batch["ids"].reshape(-1).astype(jnp.int32)
         mask = batch["mask"].reshape(-1).astype(jnp.float32)
-        reid_loss = reid_cross_entropy_loss(
-            logits.astype(jnp.float32), ids, mask)
+        loss_kind = (self.reid_config or {}).get("loss_function", "ce")
+        if loss_kind == "triplet":
+            emb = gather_at_indices(outputs["reid"], indices)
+            emb = emb.reshape(-1, emb.shape[-1]).astype(jnp.float32)
+            reid_loss = reid_triplet_loss(emb, ids, mask)
+        else:
+            reid_loss = reid_cross_entropy_loss(
+                logits.astype(jnp.float32), ids, mask)
 
         total = losses["total"] + reid_loss * self.reid_loss_weight
         return {**losses, "reid": reid_loss, "total": total}, mutated["batch_stats"]

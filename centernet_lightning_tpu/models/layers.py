@@ -317,20 +317,28 @@ def _nearest_upsample_2x(x: jnp.ndarray) -> jnp.ndarray:
 class Upsample(nn.Module):
     """x2 upsample: conv_transpose (bilinear init) / nearest / bilinear.
 
-    Reference models/layers.py:81-101.
+    Reference models/layers.py:81-101; `kernel_size`/`init_bilinear` are the
+    Gen-A `deconv_kernel`/`deconv_init_bilinear` knobs
+    (reference configs/test_config.yaml:13-15).
     """
 
     channels: int
     method: str = "nearest"  # conv_transpose | nearest | bilinear
+    kernel_size: int = 4         # conv_transpose only
+    init_bilinear: bool = True   # conv_transpose only
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.method == "conv_transpose":
-            init = lambda key, shape, dtype=jnp.float32: jnp.asarray(
-                _bilinear_kernel(shape[0], shape[2]), dtype
-            )
+            if self.init_bilinear:
+                init = lambda key, shape, dtype=jnp.float32: jnp.asarray(
+                    _bilinear_kernel(shape[0], shape[2]), dtype
+                )
+            else:
+                init = nn.initializers.he_normal()
             x = nn.ConvTranspose(
-                self.channels, (4, 4), strides=(2, 2), padding="SAME",
+                self.channels, (self.kernel_size, self.kernel_size),
+                strides=(2, 2), padding="SAME",
                 use_bias=False, kernel_init=init,
             )(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)

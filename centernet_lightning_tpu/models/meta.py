@@ -130,6 +130,7 @@ def create_model(
         rc.setdefault("width", 256)
         rc.setdefault("depth", 1)
         rc.pop("loss_weight", None)
+        rc.pop("loss_function", None)  # consumed by FairMOT (ce | triplet)
         heads["reid"] = GenericHead(out_channels=emb_dim, **rc)
         classifier = ReIDClassifier(max_track_ids)
 

@@ -16,7 +16,7 @@ Config surface matches both reference generations:
 """
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -31,13 +31,20 @@ class SimpleNeck(nn.Module):
 
     Per step: conv (normal/separable/dcn) to `ch` then x2 upsample.
     Reference intent: models/layers.py make_conv + make_upsample chains,
-    configs/base_resnet34.yaml:7-11.
+    configs/base_resnet34.yaml:7-11. The Gen-A knobs from
+    configs/test_config.yaml:9-18 are honored too: `deconv_kernel` /
+    `deconv_init_bilinear` shape the conv_transpose upsampler, and
+    `skip_kernel` adds a lateral skip connection from the backbone pyramid
+    level at the matching resolution (CenterNet's deconv+skip variant).
     """
 
     in_channels: Sequence[int]
     upsample_channels: Sequence[int] = (256, 128, 64)
     upsample_type: str = "nearest"       # conv_transpose | nearest | bilinear
     conv_type: str = "normal"            # normal | separable | dcn
+    deconv_kernel: int = 4               # conv_transpose kernel size
+    deconv_init_bilinear: bool = True    # bilinear-init the transpose conv
+    skip_kernel: int = 0                 # >0: lateral skip conv kernel size
 
     @property
     def out_channels(self) -> int:
@@ -51,9 +58,18 @@ class SimpleNeck(nn.Module):
     def __call__(self, features: List[jnp.ndarray], train: bool = False):
         x = features[-1]
         block = CONV_BLOCKS[self.conv_type]
-        for ch in self.upsample_channels:
+        for step, ch in enumerate(self.upsample_channels):
             x = block(ch, 3)(x, train)
-            x = Upsample(ch, method=self.upsample_type)(x, train)
+            x = Upsample(ch, method=self.upsample_type,
+                         kernel_size=self.deconv_kernel,
+                         init_bilinear=self.deconv_init_bilinear)(x, train)
+            if self.skip_kernel:
+                # lateral skip from the pyramid level now at x's resolution
+                skip_idx = len(features) - 2 - step
+                if skip_idx >= 0:
+                    x = x + ConvNormAct(
+                        ch, self.skip_kernel, act=None,
+                    )(features[skip_idx], train)
         return x
 
 
@@ -63,34 +79,65 @@ class FPN(nn.Module):
     fuse_fn 'sum' adds lateral + upsampled then 3x3-convs; 'concat'
     concatenates then 3x3-convs back to out_channels
     (the reference's concat-FPN experiment, docs/experiments.md:37).
+    `weighted` (the Gen-A `weighted_fusion` knob,
+    reference configs/base_resnet34_fpn.yaml:12) merges each level with a
+    softmax-free learned-weight Fuse node instead of a plain sum.
     """
 
     in_channels: Sequence[int]
     out_channels: int = 256
     fuse_fn: str = "sum"                 # sum | concat
+    weighted: bool = False               # Gen-A weighted_fusion
     upsample_type: str = "nearest"
     conv_type: str = "normal"
+    # Gen-A progressive-width spelling (reference
+    # configs/base_resnet34_fpn.yaml:9: upsample_channels [256, 128, 64]):
+    # merge step k runs at upsample_channels[k]; the emitted map has
+    # upsample_channels[-1] channels (build_neck keeps out_channels in sync)
+    upsample_channels: Optional[Sequence[int]] = None
 
     @property
     def stride(self) -> int:
         return 2 ** (len(self.in_channels) - 1)
+
+    def _step_width(self, step: int) -> int:
+        if self.upsample_channels is not None:
+            return self.upsample_channels[min(step,
+                                              len(self.upsample_channels) - 1)]
+        return self.out_channels
 
     @nn.compact
     def __call__(self, features: List[jnp.ndarray], train: bool = False,
                  return_pyramid: bool = False):
         block = CONV_BLOCKS[self.conv_type]
         laterals = [
-            ConvNormAct(self.out_channels, 1, act=None)(f, train) for f in features
+            ConvNormAct(self._step_width(len(features) - 2 - i), 1,
+                        act=None)(f, train)
+            for i, f in enumerate(features[:-1])
         ]
-        pyramid = [laterals[-1]]
-        x = laterals[-1]
-        for lateral in reversed(laterals[:-1]):
-            up = Upsample(self.out_channels, method=self.upsample_type)(x, train)
+        top_w = (self.upsample_channels[0]
+                 if self.upsample_channels is not None else self.out_channels)
+        x = ConvNormAct(top_w, 1, act=None)(features[-1], train)
+        pyramid = [x]
+        for step, lateral in enumerate(reversed(laterals)):
+            w = self._step_width(step)
+            if self.weighted:
+                x = Fuse(
+                    w, weighted=True,
+                    upsample=self.upsample_type, conv_type=self.conv_type,
+                )([lateral, x], train)
+                pyramid.append(x)
+                continue
+            if self.upsample_channels is not None and x.shape[-1] != w:
+                # progressive narrowing: bring the top-down path to this
+                # step's width before the merge (like SimpleNeck's stack)
+                x = block(w, 3)(x, train)
+            up = Upsample(w, method=self.upsample_type)(x, train)
             if self.fuse_fn == "concat":
                 x = jnp.concatenate([lateral, up], axis=-1)
             else:
                 x = lateral + up
-            x = block(self.out_channels, 3)(x, train)
+            x = block(w, 3)(x, train)
             pyramid.append(x)
         pyramid = pyramid[::-1]          # finest first
         return pyramid if return_pyramid else pyramid[0]
@@ -189,4 +236,14 @@ NECKS = {
 def build_neck(name: str, in_channels: Sequence[int], **kwargs):
     if name not in NECKS:
         raise KeyError(f"unknown neck '{name}'; available: {sorted(NECKS)}")
-    return NECKS[name](in_channels=tuple(in_channels), **kwargs)
+    cls = NECKS[name]
+    if cls is not SimpleNeck and kwargs.get("upsample_channels"):
+        # Gen-A progressive-width FPN: keep the out_channels attribute
+        # truthful (= the emitted map's width)
+        kwargs = dict(kwargs)
+        kwargs.setdefault("out_channels",
+                          tuple(kwargs["upsample_channels"])[-1])
+        if cls in (BiFPN, IDA):
+            # repeated-fusion necks run at ONE width; honor the narrowest
+            kwargs["out_channels"] = tuple(kwargs.pop("upsample_channels"))[-1]
+    return cls(in_channels=tuple(in_channels), **kwargs)

@@ -30,7 +30,7 @@ from .checkpoint import (latest_checkpoint, load_checkpoint, save_checkpoint,
                          wait_for_saves)
 from .logging import MetricLogger
 from .optim import make_optimizer, schedule_from_config
-from .state import TrainState, make_eval_step, make_train_step
+from .state import TrainState, _task_mean_std, make_eval_step, make_train_step
 
 __all__ = ["Trainer"]
 
@@ -48,6 +48,9 @@ class Trainer:
         monitor: str = "val/mAP",
         monitor_mode: str = "max",
         val_interval: int = 1,
+        val_check_interval: Optional[float] = None,  # Lightning semantics:
+        # float < 1 = fraction of an epoch (mid-epoch validation), int > 1 =
+        # every N training batches; 1/None = epoch boundaries (val_interval)
         image_size=(512, 512),
         seed: int = 0,
         resume: bool = True,
@@ -122,7 +125,21 @@ class Trainer:
 
         opt_cfg = dict(optimizer_config or task.optimizer_config or {})
         opt_cfg.pop("jit", None)  # always jitted here
+        # backbone freeze (Gen-A frozen_stages) must reach the optimizer
+        # mask too, or weight decay shrinks the frozen weights
+        opt_cfg.setdefault("frozen_stages",
+                           (getattr(task, "backbone_config", None) or {})
+                           .get("frozen_stages", 0))
         steps_per_epoch = len(train_loader) if train_loader else 1
+        # sub-epoch validation cadence (Lightning val_check_interval:
+        # fraction of an epoch, or an absolute batch count when > 1)
+        self.val_check_steps = None
+        if val_check_interval and train_loader is not None:
+            if val_check_interval < 1.0:
+                self.val_check_steps = max(
+                    1, int(steps_per_epoch * float(val_check_interval)))
+            elif val_check_interval > 1:
+                self.val_check_steps = int(val_check_interval)
         self.accumulate = max(1, int(accumulate_grad_batches))
         if self.accumulate > 1:
             # the LR schedule counts OPTIMIZER updates (the inner tx only
@@ -414,7 +431,7 @@ class Trainer:
         for epoch in range(self.start_epoch, self.max_epochs):
             t0 = time.time()
             n_imgs = 0
-            for batch in self.train_loader:
+            for batch_idx, batch in enumerate(self.train_loader):
                 if not first_batch_logged and jax.process_index() == 0:
                     self._log_heatmap_diagnostic(batch)
                     first_batch_logged = True
@@ -436,23 +453,36 @@ class Trainer:
                     metrics["train/lr"] = float(
                         self.lr_schedule(step // self.accumulate))
                     self.logger.log(metrics, step)
+                if (self.val_check_steps and self.val_loader is not None
+                        and (batch_idx + 1) % self.val_check_steps == 0):
+                    # Lightning val_check_interval: validate mid-epoch on a
+                    # per-epoch batch counter (the final hit of an epoch IS
+                    # the epoch-boundary validation)
+                    self._run_validation(epoch + 1)
 
             if epoch == self.start_epoch:
                 self._stop_profile()
 
-            if self.val_loader is not None and (epoch + 1) % self.val_interval == 0:
-                metrics = self.validate()
-                self.logger.log(metrics, int(self.state.step))
-                score = metrics.get(self.monitor)
-                if score is not None:
-                    better = (score > self.best_metric if self.monitor_mode == "max"
-                              else score < self.best_metric)
-                    if better:
-                        self.best_metric = score
-                        self._save(epoch + 1, tag="best")
+            if (self.val_loader is not None and self.val_check_steps is None
+                    and (epoch + 1) % self.val_interval == 0):
+                self._run_validation(epoch + 1)
             self._save(epoch + 1)
         wait_for_saves()  # join the background checkpoint writer
         return self.state
+
+    def _run_validation(self, epoch: int):
+        """One validation pass + monitor bookkeeping + best-checkpoint save
+        (shared by the epoch-boundary and mid-epoch cadences)."""
+        metrics = self.validate()
+        self.logger.log(metrics, int(self.state.step))
+        score = metrics.get(self.monitor)
+        if score is not None:
+            better = (score > self.best_metric if self.monitor_mode == "max"
+                      else score < self.best_metric)
+            if better:
+                self.best_metric = score
+                self._save(epoch, tag="best")
+        return metrics
 
     # ------------------------------------------------------------------
 
@@ -613,29 +643,57 @@ class Trainer:
     def validate_tracking(self) -> Dict[str, float]:
         """MOT validation: one tracker per SEQUENCE (reset at boundaries,
         reference eval/mot_challenge.py:9-83 + fairmot.py:87-136), metrics
-        combined TrackEval-style across sequences."""
+        combined TrackEval-style across sequences.
+
+        Multihost: association is sequential per sequence, so frames can't
+        be scattered across processes mid-sequence. Instead whole SEQUENCES
+        are assigned round-robin (seq_id % process_count): each process
+        re-reads the full dataset (the rank-interleaved loader shard would
+        split sequences), forwards + tracks only its own sequences on its
+        local devices, then the raw per-sequence results are allgathered
+        and every process scores the identical union — bit-identical to a
+        single-process run on the same data."""
         from ..eval.mot import evaluate_mot_tracking_sequences
 
-        if jax.process_count() > 1:
-            # association is sequential per sequence; frames sharded across
-            # processes would interleave mid-sequence and corrupt IDs.
-            # Evaluate tracking single-process (the reference does too —
-            # its MOT eval never ran under DDP).
-            raise NotImplementedError(
-                "tracking validation is single-process: run it on one host "
-                "(detection validation supports multihost)")
+        multihost = jax.process_count() > 1
+        if multihost:
+            src = self.val_loader
+            if hasattr(src, "dataset"):
+                from ..data.loader import DataLoader as _DataLoader
+
+                loader = _DataLoader(
+                    src.dataset, batch_size=src.batch_size, shuffle=False,
+                    collate_fn=src.collate_fn, num_workers=src.num_workers,
+                    drop_last=False, seed=src.seed,
+                )
+            else:
+                # custom loader: trust it to yield the FULL dataset on
+                # every process (sequence filtering below still applies)
+                loader = src
+            run_eval = self._make_local_eval_step()
+            pidx, pcount = jax.process_index(), jax.process_count()
+        else:
+            loader = self.val_loader
+            run_eval = lambda batch: jax.device_get(
+                self.eval_step(self.state, self._shard(batch)))
+            pidx, pcount = 0, 1
 
         tracker = Tracker(model=None, **self.tracker_config)
         per_seq: Dict[int, Dict[str, list]] = {}
         current_seq = None
-        for batch in self.val_loader:
-            sharded = self._shard(batch)
-            dets = jax.device_get(self.eval_step(self.state, sharded))
+        for batch in loader:
             n = batch["image"].shape[0]
+            seq_ids = np.asarray(
+                batch.get("sequence_id", np.zeros(n, np.int64)))
+            mine = (seq_ids % pcount) == pidx
+            if not mine.any():
+                continue  # no device work for foreign sequences
+            dets = run_eval(batch)
             in_h, in_w = batch["image"].shape[1:3]
             scale = np.array([in_w, in_h, in_w, in_h])
-            seq_ids = batch.get("sequence_id", np.zeros(n, np.int64))
             for i in range(n):
+                if not mine[i]:
+                    continue
                 sid = int(seq_ids[i])
                 if sid != current_seq:
                     tracker.reset()
@@ -655,9 +713,103 @@ class Trainer:
                 m = batch["mask"][i].astype(bool)
                 entry["target_bboxes"].append(batch["boxes"][i][m] / scale)
                 entry["target_track_ids"].append(batch["ids"][i][m])
+        if multihost:
+            per_seq = _allgather_tracking_results(per_seq)
         metrics = evaluate_mot_tracking_sequences(
             {f"seq{k}": v for k, v in sorted(per_seq.items())})
         # per-sequence breakdowns only when there are multiple sequences
         if len(per_seq) <= 1:
             metrics = {k: v for k, v in metrics.items() if "/" not in k}
         return {f"val/{k}": v for k, v in metrics.items()}
+
+    def _make_local_eval_step(self):
+        """Per-process forward+decode on the local default device, for
+        multihost tracking validation: the replicated global-mesh state is
+        fully addressable on every process, so fetch it once and jit a
+        plain local program (no cross-host collectives in the eval path)."""
+        task = self.task
+        params = jax.device_get(
+            self.state.params if self.state.ema_params is None
+            else self.state.ema_params)
+        batch_stats = jax.device_get(self.state.batch_stats)
+
+        @jax.jit
+        def run(params, batch_stats, images):
+            if images.dtype == jnp.uint8:
+                from ..ops.preprocess import preprocess
+
+                mean, std = _task_mean_std(task)
+                images = preprocess(images, mean=mean, std=std)
+            outputs = task.model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                images, train=False)
+            return task.decode_detections(
+                outputs["heatmap"], outputs["box_2d"],
+                reid=outputs.get("reid"), from_logits=True)
+
+        return lambda batch: jax.device_get(
+            run(params, batch_stats, jnp.asarray(batch["image"])))
+
+
+def _allgather_tracking_results(per_seq: Dict[int, Dict[str, list]],
+                                _allgather=None,
+                                _process_count: Optional[int] = None,
+                                ) -> Dict[int, Dict[str, list]]:
+    """Union per-process tracking results (sequence -> per-frame ragged
+    box/id lists) across hosts via fixed-shape padded collectives (the
+    gather_object_lists machinery; reference eval/coco.py:10-18 analog for
+    the MOT path). Sequences are disjoint across processes (round-robin
+    assignment), frames are keyed explicitly so empty frames survive."""
+
+    def flatten(entry, box_key, id_key, sid):
+        boxes, ids, frames = [], [], []
+        for j, (bxs, tids) in enumerate(zip(entry[box_key], entry[id_key])):
+            b = np.asarray(bxs, np.float64).reshape(-1, 4)
+            boxes.append(b)
+            ids.append(np.asarray(tids, np.int64).reshape(-1))
+            frames.append(np.full(len(b), j, np.int64))
+        b = np.concatenate(boxes) if boxes else np.zeros((0, 4), np.float64)
+        i = np.concatenate(ids) if ids else np.zeros((0,), np.int64)
+        f = np.concatenate(frames) if frames else np.zeros((0,), np.int64)
+        return {"boxes": b, "ids": i, "frame": f,
+                "seq": np.full(len(b), sid, np.int64)}
+
+    meta_items, pred_items, tgt_items = [], [], []
+    for sid, entry in sorted(per_seq.items()):
+        n_frames = len(entry["pred_bboxes"])
+        meta_items.append(
+            {"info": np.asarray([[sid, n_frames]], np.int64)})
+        pred_items.append(flatten(entry, "pred_bboxes", "pred_track_ids", sid))
+        tgt_items.append(
+            flatten(entry, "target_bboxes", "target_track_ids", sid))
+
+    kw = {"_allgather": _allgather, "_process_count": _process_count}
+    meta = gather_object_lists(meta_items, {"info": ((2,), np.int64)}, **kw)
+    schema = {"boxes": ((4,), np.float64), "ids": ((), np.int64),
+              "frame": ((), np.int64), "seq": ((), np.int64)}
+    preds = gather_object_lists(pred_items, schema, **kw)
+    tgts = gather_object_lists(tgt_items, schema, **kw)
+
+    out: Dict[int, Dict[str, list]] = {}
+    for m in meta:
+        sid, nf = int(m["info"][0, 0]), int(m["info"][0, 1])
+        out[sid] = {
+            "pred_bboxes": [np.zeros((0, 4)) for _ in range(nf)],
+            "pred_track_ids": [np.zeros((0,), np.int64) for _ in range(nf)],
+            "target_bboxes": [np.zeros((0, 4)) for _ in range(nf)],
+            "target_track_ids": [np.zeros((0,), np.int64)
+                                 for _ in range(nf)],
+        }
+    for items, box_key, id_key in ((preds, "pred_bboxes", "pred_track_ids"),
+                                   (tgts, "target_bboxes",
+                                    "target_track_ids")):
+        for it in items:
+            if not len(it["seq"]):
+                continue
+            sid = int(it["seq"][0])
+            entry = out[sid]
+            for j in np.unique(it["frame"]):
+                sel = it["frame"] == j
+                entry[box_key][int(j)] = it["boxes"][sel]
+                entry[id_key][int(j)] = it["ids"][sel]
+    return out

@@ -57,15 +57,18 @@ def main():
 
     train_data = model_cfg.pop("train_data", None) or {}
     val_data = model_cfg.pop("val_data", None) or {}
-    task_kwargs = {k: v for k, v in model_cfg.items()
-                   if k in CenterNet.__dataclass_fields__}
-    task_kwargs["train_data"] = train_data
-    task_kwargs["val_data"] = val_data
-
     is_tracking = model_cfg.get("reid_config") is not None
     task_cls = FairMOT if is_tracking else CenterNet
-    if is_tracking:
-        task_kwargs["reid_loss_weight"] = model_cfg.get("reid_loss_weight", 1.0)
+    task_kwargs = {k: v for k, v in model_cfg.items()
+                   if k in task_cls.__dataclass_fields__}
+    # consumed by the Trainer below, not the task dataclass
+    _TRAINER_MODEL_KEYS = {"load_from_checkpoint", "finetune_from"}
+    for k in model_cfg:
+        if k not in task_cls.__dataclass_fields__ and k not in _TRAINER_MODEL_KEYS:
+            print(f"WARNING: model config key '{k}' is not a "
+                  f"{task_cls.__name__} hparam and is ignored")
+    task_kwargs["train_data"] = train_data
+    task_kwargs["val_data"] = val_data
     task = task_cls(**task_kwargs)
 
     def make_loader(data_cfg, train):
@@ -99,6 +102,7 @@ def main():
         log_dir=os.path.join(args.workdir, "logs"),
         monitor=monitor,
         val_interval=_val_interval(trainer_cfg),
+        val_check_interval=trainer_cfg.get("val_check_interval"),
         log_every=int(trainer_cfg.get("log_every_n_steps", 50)),
         image_size=image_size,
         resume=not args.no_resume,
@@ -140,20 +144,12 @@ def _save_resolved_config(config, workdir: str):
 
 
 def _val_interval(trainer_cfg) -> int:
-    """Lightning's two validation-cadence knobs -> whole epochs.
-    check_val_every_n_epoch maps directly; val_check_interval (fraction of
-    an epoch, used by the reference Gen-A configs) can't go sub-epoch in
-    this trainer, so any value <= 1 becomes every epoch — with a printed
-    note rather than silent ignoring."""
+    """check_val_every_n_epoch -> whole-epoch validation cadence.
+    val_check_interval (fraction of an epoch or a batch count — Lightning
+    semantics, reference configs `val_check_interval: 1.0`) is passed to
+    the Trainer separately and drives mid-epoch validation."""
     if "check_val_every_n_epoch" in trainer_cfg:
         return int(trainer_cfg["check_val_every_n_epoch"])
-    vci = trainer_cfg.get("val_check_interval")
-    if vci is None:
-        return 1
-    if vci != 1:
-        print(f"val_check_interval={vci} -> validating every epoch (this "
-              f"trainer validates on epoch boundaries; use "
-              f"check_val_every_n_epoch for a multi-epoch cadence)")
     return 1
 
 
