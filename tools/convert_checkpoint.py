@@ -27,6 +27,12 @@ def main():
     parser.add_argument("--output", required=True, help="orbax checkpoint dir")
     parser.add_argument("--platform", default=None,
                         help="force a jax platform (e.g. cpu)")
+    parser.add_argument("--calibration-images", default=None,
+                        help="image dir for the DCN offset-magnitude audit "
+                             "(models with conv_type dcn*): reports the "
+                             "smallest dcn_fast clamp D that is exact-"
+                             "equivalent for this checkpoint's learned "
+                             "offsets; random inputs are used when omitted")
     args = parser.parse_args()
 
     if args.platform:
@@ -43,6 +49,34 @@ def main():
 
     predictor = build_centernet(args.config, torch_ckpt=args.torch_ckpt)
     variables = jax.device_get(predictor.variables)
+
+    from centernet_lightning_tpu.utils.dcn_audit import (
+        audit_dcn_offsets, dcn_engine_displacement, format_dcn_audit,
+        model_uses_dcn,
+    )
+
+    if model_uses_dcn(predictor.task):
+        import numpy as np
+
+        h, w = predictor.task.image_size
+        if args.calibration_images:
+            from centernet_lightning_tpu.data.inference import (
+                InferenceDataset,
+            )
+
+            ds = InferenceDataset(args.calibration_images, resize=(h, w))
+            imgs = np.stack([ds[i]["image"] for i in range(min(4, len(ds)))])
+            imgs = ((imgs.astype(np.float32) / 255.0
+                     - np.asarray(predictor.mean))
+                    / np.asarray(predictor.std))
+        else:
+            print("DCN audit on RANDOM inputs (pass --calibration-images "
+                  "for representative offset statistics)")
+            imgs = np.random.default_rng(0).normal(
+                size=(2, h, w, 3)).astype(np.float32)
+        stats = audit_dcn_offsets(predictor.task, predictor.variables, imgs)
+        print(format_dcn_audit(stats,
+                               dcn_engine_displacement(predictor.task)))
     path = save_checkpoint(
         args.output,
         {"params": variables["params"],

@@ -67,6 +67,22 @@ def main():
     loader = build_dataloader(ds, batch_size=args.batch_size, shuffle=False,
                               num_workers=4, max_boxes=128, drop_last=False)
 
+    from centernet_lightning_tpu.utils.dcn_audit import (
+        audit_dcn_offsets, dcn_engine_displacement, format_dcn_audit,
+        model_uses_dcn,
+    )
+
+    if model_uses_dcn(predictor.task):
+        # measure the checkpoint's learned offset magnitudes on real val
+        # images so a dcn_fast clamp can't silently cost accuracy
+        # (torchvision DeformConv2d is unbounded, reference layers.py:9-38)
+        calib_batch = next(iter(loader))
+        stats = audit_dcn_offsets(
+            predictor.task, predictor.variables,
+            np.asarray(calib_batch["image"], np.float32))
+        print(format_dcn_audit(
+            stats, dcn_engine_displacement(predictor.task)), file=sys.stderr)
+
     if args.quantize > 0:
         calib = []
         for batch in loader:
