@@ -20,6 +20,9 @@ from centernet_lightning_tpu.eval.coco_eval import (
     box_iou_xywh,
 )
 
+# long-running e2e/CLI tier: deselect with -m 'not slow'
+pytestmark = pytest.mark.slow
+
 IOU_THRS = np.linspace(0.5, 0.95, 10)
 REC_THRS = np.linspace(0.0, 1.0, 101)
 MAX_DETS = (1, 10, 100)

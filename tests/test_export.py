@@ -6,6 +6,9 @@ import pytest
 
 from centernet_lightning_tpu import build_centernet
 
+# long-running e2e/CLI tier: deselect with -m 'not slow'
+pytestmark = pytest.mark.slow
+
 TINY = {
     "num_classes": 2,
     "backbone": "resnet18",

@@ -4,12 +4,17 @@ gather_object_lists / all_gather_host — the working replacement for the
 reference's dist.all_gather_object metric merge (reference
 eval/coco.py:10-18). Upgrades the single-process contract tests in
 test_multihost_gather.py to an actual cross-process execution."""
+import pytest
+
 import json
 import math
 import os
 import socket
 import subprocess
 import sys
+
+# long-running e2e/CLI tier: deselect with -m 'not slow'
+pytestmark = pytest.mark.slow
 
 _CHILD = r"""
 import os

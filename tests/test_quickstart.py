@@ -2,9 +2,14 @@
 (synthetic COCO -> train -> validate -> StableHLO export -> folder
 inference), driven as the real subprocess a new user would run. One epoch:
 this guards against crashes from API drift, not accuracy."""
+import pytest
+
 import os
 import subprocess
 import sys
+
+# long-running e2e/CLI tier: deselect with -m 'not slow'
+pytestmark = pytest.mark.slow
 
 
 def test_quickstart_cpu_one_epoch(tmp_path):

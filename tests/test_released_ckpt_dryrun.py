@@ -35,6 +35,9 @@ from tests.test_torch_convert import (  # noqa: E402
     _randomize_bn,
 )
 
+# long-running e2e/CLI tier: deselect with -m 'not slow'
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

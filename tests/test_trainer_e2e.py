@@ -16,6 +16,9 @@ from centernet_lightning_tpu.models.centernet import CenterNet
 from centernet_lightning_tpu.models.fairmot import FairMOT
 from centernet_lightning_tpu.train.trainer import Trainer
 
+# long-running e2e/CLI tier: deselect with -m 'not slow'
+pytestmark = pytest.mark.slow
+
 IMG = 64
 
 

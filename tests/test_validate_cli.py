@@ -9,6 +9,9 @@ import sys
 import numpy as np
 import pytest
 
+# long-running e2e/CLI tier: deselect with -m 'not slow'
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture
 def synthetic_coco(tmp_path):
