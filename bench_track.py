@@ -62,7 +62,16 @@ def main():
     batch_size = int(os.environ.get("BENCH_BATCH", 8 if on_tpu else 2))
     n_frames = int(os.environ.get("BENCH_FRAMES",
                                   40 * batch_size if on_tpu else 2 * batch_size))
-    h, w = (608, 1088) if on_tpu else (128, 160)
+    # BENCH_SHAPE=crowdhuman: the BASELINE config-5 leg — 608x608 dense
+    # crowds (reference configs/crowdhuman_tracking.yaml) stressing top-k
+    # decode at num_detections=300 + association throughput
+    shape = os.environ.get("BENCH_SHAPE", "mot17")
+    if shape == "crowdhuman":
+        h, w = (608, 608) if on_tpu else (128, 128)
+        n_objects = int(os.environ.get("BENCH_OBJECTS", 120))
+    else:
+        h, w = (608, 1088) if on_tpu else (128, 160)
+        n_objects = int(os.environ.get("BENCH_OBJECTS", 24))
 
     task = FairMOT(
         num_classes=1, backbone="resnet34", neck="FPN",
@@ -77,7 +86,7 @@ def main():
         task, variables, image_size=(h, w),
         compute_dtype="bfloat16" if on_tpu else "float32")
 
-    frames = synth_frames(n_frames, h, w)
+    frames = synth_frames(n_frames, h, w, n_objects=n_objects)
     if os.environ.get("BENCH_QUANT") == "int8":
         predictor = predictor.quantize(frames[:batch_size])
         leg = "int8"
@@ -104,9 +113,40 @@ def main():
             n += 1
         return time.perf_counter() - t0, n, dets / max(n, 1), tracks / max(n, 1)
 
-    run(frames[:2 * batch_size])  # compile + warm both pipeline stages
+    # compile + warm both pipeline stages on distinct frames (the tunnel's
+    # dispatch cache would otherwise serve the timed run's first batches)
+    run(synth_frames(2 * batch_size, h, w, n_objects=n_objects, seed=2))
     elapsed, n, dets_pf, tracks_pf = run(frames)
     fps = n / elapsed
+
+    # occupancy attribution: is the pipelined overlap actually hiding the
+    # host Hungarian behind the device forward? Run on FRESH frames — the
+    # axon tunnel caches identical dispatches, so re-timing the batches
+    # track_stream already dispatched would under-report the device stage.
+    from centernet_lightning_tpu.models.tracker import Tracker
+
+    frames_b = synth_frames(n_frames, h, w, n_objects=n_objects, seed=1)
+    # (a) device-only: forward + top-k gather + D2H readback, no association
+    pre = []
+    t0 = time.perf_counter()
+    n_dev = 0
+    for chunk, nv in batches(frames_b):
+        d = predictor.gather_tracking2d(chunk)  # numpy out: readback included
+        for i in range(nv):
+            pre.append((d["bboxes"][i], d["labels"][i], d["scores"][i],
+                        d["embeddings"][i]))
+        n_dev += nv
+    device_ms = (time.perf_counter() - t0) / max(n_dev, 1) * 1e3
+    # (b) host-only: association over the pre-fetched detections
+    tracker = Tracker(model=None, **tracker_cfg)
+    t0 = time.perf_counter()
+    for det in pre:
+        tracker.update(*det)
+    host_ms = (time.perf_counter() - t0) / max(len(pre), 1) * 1e3
+    pipelined_ms = elapsed / max(n, 1) * 1e3
+    # overlap efficiency: 1.0 = the slower stage fully hides the faster
+    ideal_ms = max(device_ms, host_ms)
+    overlap = ideal_ms / pipelined_ms if pipelined_ms else 0.0
 
     # reference baseline: BASELINE_measured.json torch-CPU if present
     vs = None
@@ -124,7 +164,11 @@ def main():
         "value": round(fps, 2), "unit": "frames/sec",
         "vs_baseline": round(vs, 1) if vs else None,
         "detail": {"frames": n, "dets_per_frame": round(dets_pf, 1),
-                   "active_tracks_per_frame": round(tracks_pf, 1)},
+                   "active_tracks_per_frame": round(tracks_pf, 1),
+                   "device_ms_per_frame": round(device_ms, 3),
+                   "host_assoc_ms_per_frame": round(host_ms, 3),
+                   "pipelined_ms_per_frame": round(pipelined_ms, 3),
+                   "overlap_efficiency": round(overlap, 3)},
     }))
 
 

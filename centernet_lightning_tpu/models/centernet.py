@@ -61,6 +61,10 @@ class CenterNet:
     heatmap_loss_weight: float = 1.0
     heatmap_target: str = "cornernet"
     heatmap_target_params: Optional[Dict[str, float]] = None
+    # SxS center sampling for box regression (reference centernet.py:149-166
+    # is hardwired 3x3; 1 = exact-center only, the pre-center-sampling
+    # recipe of the reference's Jan-2022 ablation rows (1)-(2))
+    center_sampling_size: int = 3
 
     # inference config (reference centernet.py:92-94)
     nms_kernel: int = 3
@@ -216,9 +220,10 @@ class CenterNet:
             norm=jnp.maximum(1.0, num_dets),
         )
 
-        # 3x3 center-sampled box regression (centernet.py:149-166)
+        # SxS center-sampled box regression (centernet.py:149-166)
         idx, sample_mask, target_xyxy = target_ops.center_sample_indices(
-            boxes, mask, out_h, out_w, stride
+            boxes, mask, out_h, out_w, stride,
+            sample_size=self.center_sampling_size,
         )
         pred_boxes = decode_ops.gather_and_decode_boxes(
             box_offsets, idx, box_log=self.box_log,

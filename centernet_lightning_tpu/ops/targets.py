@@ -162,24 +162,34 @@ def center_sample_indices(
     out_h: int,
     out_w: int,
     stride: int,
+    sample_size: int = 3,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Flattened feature-map indices of the 3x3 neighborhood around each center.
+    """Flattened feature-map indices of the SxS neighborhood around each center.
+
+    `sample_size` (odd; default 3) is the reference's 3x3 center sampling
+    (centernet.py:149-166); 1 regresses only at the exact center — the
+    pre-center-sampling recipe the reference's January-2022 ablation rows
+    (1)-(2) used (docs/experiments.md:24-26), kept as a knob so that
+    ablation is replicable.
 
     Returns (indices, sample_mask, target_xyxy):
-      indices:     (N, K*9) int32, cy*out_w + cx (clamped in-bounds)
-      sample_mask: (N, K*9) float32, 1 where the sample is a valid in-bounds
+      indices:     (N, K*S*S) int32, cy*out_w + cx (clamped in-bounds)
+      sample_mask: (N, K*S*S) float32, 1 where the sample is a valid in-bounds
                    neighbor of a non-padded box (out-of-bounds neighbors are
                    dropped, matching centernet.py:153-154)
-      target_xyxy: (N, K*9, 4) the original input-scale box replicated per sample
+      target_xyxy: (N, K*S*S, 4) the original input-scale box replicated per
+                   sample
     Bounds are tested PER SAMPLE, like the reference loop (it filters each
     of cx-1/cx/cx+1 individually): a center that rounds just outside the
     map still contributes its in-bounds neighbors.
     """
+    if sample_size < 1 or sample_size % 2 == 0:
+        raise ValueError(f"sample_size must be odd and >= 1, got {sample_size}")
     centers = jnp.round(boxes[..., :2] / stride + boxes[..., 2:] / (2.0 * stride))
     cx = centers[..., 0].astype(jnp.int32)                      # (N, K)
     cy = centers[..., 1].astype(jnp.int32)
 
-    offs = jnp.array([-1, 0, 1], dtype=jnp.int32)
+    offs = jnp.arange(sample_size, dtype=jnp.int32) - sample_size // 2
     # itertools.product(cxs, cys) iterates cy fastest (centernet.py:156)
     sx = cx[..., None, None] + offs[None, None, :, None]        # (N, K, 3, 1)
     sy = cy[..., None, None] + offs[None, None, None, :]        # (N, K, 1, 3)
@@ -193,13 +203,14 @@ def center_sample_indices(
     idx = sy * out_w + sx                                       # (N, K, 3, 3)
 
     n, k = boxes.shape[:2]
+    s2 = sample_size * sample_size
     target = jnp.concatenate(
         [boxes[..., :2], boxes[..., :2] + boxes[..., 2:]], axis=-1
     )                                                           # (N, K, 4) xyxy
-    target = jnp.broadcast_to(target[:, :, None, :], (n, k, 9, 4))
+    target = jnp.broadcast_to(target[:, :, None, :], (n, k, s2, 4))
 
     return (
-        idx.reshape(n, k * 9),
-        valid.reshape(n, k * 9).astype(jnp.float32),
-        target.reshape(n, k * 9, 4),
+        idx.reshape(n, k * s2),
+        valid.reshape(n, k * s2).astype(jnp.float32),
+        target.reshape(n, k * s2, 4),
     )

@@ -157,6 +157,37 @@ def test_center_sample_indices_matches_reference_loop(rng):
             np.testing.assert_allclose(gb, eb, rtol=1e-5)
 
 
+def test_center_sample_indices_size1_is_exact_center(rng):
+    """sample_size=1 regresses only at the rounded center (the reference's
+    pre-center-sampling recipe, docs/experiments.md rows (1)-(2))."""
+    stride, img = 4, 256
+    H = W = img // stride
+    boxes, labels, mask = make_batch(rng)
+    idx, smask, tgt = map(
+        np.asarray,
+        T.center_sample_indices(
+            jnp.asarray(boxes), jnp.asarray(mask), H, W, stride, sample_size=1
+        ),
+    )
+    assert idx.shape == (boxes.shape[0], boxes.shape[1])
+    for i in range(boxes.shape[0]):
+        for k, ((x, y, w, h), m) in enumerate(zip(boxes[i], mask[i])):
+            cx, cy = np.round(
+                np.array([x, y]) / stride + np.array([w, h]) / (2 * stride)
+            ).astype(int)
+            inb = 0 <= cx <= W - 1 and 0 <= cy <= H - 1
+            assert smask[i, k] == float(bool(m) and inb)
+            if m and inb:
+                assert idx[i, k] == cy * W + cx
+                np.testing.assert_allclose(tgt[i, k], [x, y, x + w, y + h],
+                                           rtol=1e-5)
+
+    with pytest.raises(ValueError):
+        T.center_sample_indices(
+            jnp.asarray(boxes), jnp.asarray(mask), H, W, stride, sample_size=2
+        )
+
+
 def test_cornernet_radius_vectorized_matches_scalar(rng):
     w = rng.uniform(1, 50, size=32).astype(np.float32)
     h = rng.uniform(1, 50, size=32).astype(np.float32)
