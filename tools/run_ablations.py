@@ -1,0 +1,218 @@
+#!/usr/bin/env python
+"""Replicate the reference's core training-recipe ablations on synthetic data.
+
+The blocked north star is COCO-mAP parity with the released checkpoint (no
+dataset / checkpoint / egress in this environment); the strongest in-env
+proxy is DIRECTIONAL: the reference's own experiment ledger establishes an
+ordering between recipes, and a faithful rebuild of the losses / target
+rendering / center sampling / optimizer should reproduce that ordering on
+any non-trivial dataset. Reference anchors:
+
+  reference docs/experiments.md:24-27 (Jan-2022 COCO table):
+    (1) L1 w0.1 x16                     -> 18.6 mAP
+    (4) GIoU w5 x16 + 3x3 center sample -> 32.7 mAP   (same ResNet-34)
+  reference docs/experiments.md:31-34:
+    (3) cornernet radius -> 37.3  vs  (5) ttfnet radius -> 37.2   (~equal)
+  reference docs/experiments.md:50-60 (Aug-2021 VOC table):
+    FPN -> 25.8 mAP  vs  FPN with DCNv2 -> 37.5 mAP   (+11.7)
+
+Arms (all ResNet-18 + FPN-64 @128^2, AdamW warmup->cosine, fixed seeds):
+
+  l1        L1 w0.1 x16, exact-center regression   (ref row 1)
+  giou      GIoU w5 x16, exact-center              (ref row 2 analog)
+  giou_cs   GIoU w5 x16 + 3x3 center sampling      (ref rows 3/4)
+  ttfnet    giou_cs with heatmap_target=ttfnet     (ref row 5: ~= giou_cs)
+  dcn       giou_cs with FPN conv_type=dcn         (ref VOC: > plain FPN)
+
+Expected orderings (what the reference measured, scaled to synthetic):
+  l1 << giou <= giou_cs;   |ttfnet - giou_cs| small;   dcn >= giou_cs.
+
+One arm per PROCESS on the TPU (two 128^2 compiles + a 40-epoch fit per
+process stays well inside the axon timeout class; see CLAUDE.md):
+
+    python tools/run_ablations.py --out /tmp/ablations --all
+    python tools/run_ablations.py --out /tmp/ablations --arm giou_cs --seed 0
+    python tools/run_ablations.py --out /tmp/ablations --report
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# knob deltas per arm, applied over the shared base recipe
+ARMS = {
+    "l1": {"box_loss": "L1Loss", "box_loss_weight": 0.1,
+           "center_sampling_size": 1},
+    "giou": {"box_loss": "GIoULoss", "box_loss_weight": 5.0,
+             "center_sampling_size": 1},
+    "giou_cs": {"box_loss": "GIoULoss", "box_loss_weight": 5.0,
+                "center_sampling_size": 3},
+    "ttfnet": {"box_loss": "GIoULoss", "box_loss_weight": 5.0,
+               "center_sampling_size": 3, "heatmap_target": "ttfnet"},
+    "dcn": {"box_loss": "GIoULoss", "box_loss_weight": 5.0,
+            "center_sampling_size": 3,
+            "neck_config": {"out_channels": 64, "conv_type": "dcn"}},
+}
+
+# reference-measured anchors for the report (COCO / VOC mAP)
+REF = {"l1": 18.6, "giou": 34.6, "giou_cs": 37.3, "ttfnet": 37.2,
+       "dcn": 37.5}
+
+DATASET_SEED = 7  # one fixed dataset for every arm
+
+
+def ensure_dataset(out: str) -> str:
+    """A harder shapes set than the smoke one: 300 images, 2-6 shapes each
+    (small objects included), so sloppy box regression actually costs mAP."""
+    root = os.path.join(out, "shapes")
+    if not os.path.exists(os.path.join(root, "val.json")):
+        from tools.make_shapes_dataset import make_shapes_dataset
+
+        make_shapes_dataset(root, n_images=300, size=128, min_shapes=2,
+                            max_shapes=6, val_fraction=0.2,
+                            seed=DATASET_SEED)
+    return root
+
+
+def run_arm(arm: str, seed: int, out: str, epochs: int) -> dict:
+    import jax
+
+    from centernet_lightning_tpu.data.builder import loader_from_config
+    from centernet_lightning_tpu.models.centernet import CenterNet
+    from centernet_lightning_tpu.train.trainer import Trainer
+    from centernet_lightning_tpu.utils.compilation_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
+    root = ensure_dataset(out)
+    on_tpu = jax.devices()[0].platform != "cpu"
+
+    train_data = {
+        "type": "coco", "img_dir": os.path.join(root, "images"),
+        "ann_json": os.path.join(root, "train.json"), "batch_size": 16,
+        "transforms": [
+            {"name": "HorizontalFlip"},
+            {"name": "ColorJitter",
+             "init_args": {"brightness": 0.3, "contrast": 0.3,
+                           "saturation": 0.3}},
+            {"name": "Normalize"},
+        ],
+    }
+    val_data = {
+        "type": "coco", "img_dir": os.path.join(root, "images"),
+        "ann_json": os.path.join(root, "val.json"), "batch_size": 16,
+        "transforms": [{"name": "Resize",
+                        "init_args": {"height": 128, "width": 128}},
+                       {"name": "Normalize"}],
+    }
+
+    kwargs = dict(
+        num_classes=3, backbone="resnet18", neck="FPN",
+        neck_config={"out_channels": 64},
+        head_config={"width": 64, "depth": 2},
+        box_multiplier=16.0, heatmap_target="cornernet",
+        num_detections=50, image_size=(128, 128),
+    )
+    kwargs.update(ARMS[arm])
+
+    task = CenterNet(**kwargs)
+    workdir = os.path.join(out, f"{arm}_s{seed}")
+    trainer = Trainer(
+        task,
+        train_loader=loader_from_config(train_data, train=True, seed=seed),
+        val_loader=loader_from_config(val_data, train=False),
+        max_epochs=epochs,
+        optimizer_config={"optimizer": "AdamW", "lr": 5e-4 * 16 / 128,
+                          "weight_decay": 1e-3, "warmup_epochs": 5,
+                          "lr_scheduler": {"name": "CosineAnnealingLR"}},
+        ckpt_dir=os.path.join(workdir, "checkpoints"),
+        log_dir=os.path.join(workdir, "logs"),
+        image_size=(128, 128),
+        seed=seed,
+        resume=False,
+        diagnostics=False,
+        precision="bf16" if on_tpu else None,
+        log_every=15,  # == steps/epoch: one images_per_sec line per epoch
+    )
+    trainer.fit()
+    if trainer._stop_requested:
+        # preempted (timeout SIGTERM): a partial fit must NOT produce a
+        # result file, or --all would skip the arm as done
+        print(f"{arm} s{seed}: preempted mid-fit - no result written")
+        sys.exit(3)
+    metrics = trainer.validate()
+    result = {
+        "arm": arm, "seed": seed, "epochs": epochs,
+        "final": {k: round(float(v), 4) for k, v in metrics.items()},
+        "best_mAP": round(float(trainer.best_metric), 4),
+    }
+    path = os.path.join(out, f"{arm}_s{seed}.json")
+    with open(path, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+    return result
+
+
+def report(out: str) -> None:
+    rows = {}
+    for name in sorted(os.listdir(out)):
+        if name.endswith(".json") and "_s" in name:
+            with open(os.path.join(out, name)) as f:
+                r = json.load(f)
+            rows.setdefault(r["arm"], []).append(r)
+    print("| arm | ref mAP | synthetic val/mAP (per seed) | best |")
+    print("|---|---|---|---|")
+    for arm in ARMS:
+        if arm not in rows:
+            continue
+        per_seed = ", ".join(
+            f"s{r['seed']}: {r['final'].get('val/mAP', float('nan')):.3f}"
+            for r in sorted(rows[arm], key=lambda r: r["seed"]))
+        best = max(r["best_mAP"] for r in rows[arm])
+        print(f"| {arm} | {REF[arm]} | {per_seed} | {best:.3f} |")
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--out", required=True)
+    p.add_argument("--arm", choices=sorted(ARMS))
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--epochs", type=int, default=40)
+    p.add_argument("--seeds", type=int, default=2, help="seeds per arm (--all)")
+    p.add_argument("--all", action="store_true",
+                   help="run every arm x seed sequentially, one subprocess "
+                        "each (fresh XLA client per compile pair)")
+    p.add_argument("--report", action="store_true")
+    args = p.parse_args()
+
+    os.makedirs(args.out, exist_ok=True)
+    if args.report:
+        report(args.out)
+    elif args.all:
+        for arm in ARMS:
+            for seed in range(args.seeds):
+                done = os.path.join(args.out, f"{arm}_s{seed}.json")
+                if os.path.exists(done):
+                    print(f"skip {arm} s{seed} (exists)")
+                    continue
+                cmd = [sys.executable, os.path.abspath(__file__),
+                       "--out", args.out, "--arm", arm,
+                       "--seed", str(seed), "--epochs", str(args.epochs)]
+                print("->", " ".join(cmd), flush=True)
+                subprocess.run(cmd, check=True, cwd=REPO)
+        report(args.out)
+    elif args.arm:
+        run_arm(args.arm, args.seed, args.out, args.epochs)
+    else:
+        p.error("one of --arm / --all / --report is required")
+
+
+if __name__ == "__main__":
+    main()
