@@ -18,14 +18,24 @@ any non-trivial dataset. Reference anchors:
 
 Arms (all ResNet-18 + FPN-64 @128^2, AdamW warmup->cosine, fixed seeds):
 
-  l1        L1 w0.1 x16, exact-center regression   (ref row 1)
-  giou      GIoU w5 x16, exact-center              (ref row 2 analog)
-  giou_cs   GIoU w5 x16 + 3x3 center sampling      (ref rows 3/4)
+  l1        L1 w0.1, exact-center regression       (ref row 1)
+  giou      GIoU w5, exact-center                  (ref row 2 analog)
+  giou_cs   GIoU w5 + 3x3 center sampling          (ref rows 3/4)
   ttfnet    giou_cs with heatmap_target=ttfnet     (ref row 5: ~= giou_cs)
   dcn       giou_cs with FPN conv_type=dcn         (ref VOC: > plain FPN)
 
 Expected orderings (what the reference measured, scaled to synthetic):
   l1 << giou <= giou_cs;   |ttfnet - giou_cs| small;   dcn >= giou_cs.
+
+One deliberate shared deviation: every arm decodes boxes with
+`box_log: true, box_multiplier: 4` (the flagship escape from the
+clamp-decode dead-gradient trap, docs/implementation.md). The reference's
+literal `clamp(x * 16)` decode survives only on large varied batches
+(bs64-128 COCO); on this 240-image bs16 set a GIoU arm dies permanently
+with box loss pinned at exactly 1.0 (measured: 14 epochs flat at 1.02).
+The decode parameterization is held CONSTANT across arms, so the ablated
+deltas - box loss/weight, center sampling, radius, conv type - remain
+exactly the reference's.
 
 One arm per PROCESS on the TPU (two 128^2 compiles + a 40-epoch fit per
 process stays well inside the axon timeout class; see CLAUDE.md):
@@ -117,7 +127,7 @@ def run_arm(arm: str, seed: int, out: str, epochs: int) -> dict:
         num_classes=3, backbone="resnet18", neck="FPN",
         neck_config={"out_channels": 64},
         head_config={"width": 64, "depth": 2},
-        box_multiplier=16.0, heatmap_target="cornernet",
+        box_log=True, box_multiplier=4.0, heatmap_target="cornernet",
         num_detections=50, image_size=(128, 128),
     )
     kwargs.update(ARMS[arm])
@@ -167,16 +177,20 @@ def report(out: str) -> None:
             with open(os.path.join(out, name)) as f:
                 r = json.load(f)
             rows.setdefault(r["arm"], []).append(r)
-    print("| arm | ref mAP | synthetic val/mAP (per seed) | best |")
-    print("|---|---|---|---|")
+    print("| arm | ref mAP | val/mAP (per seed) | val/AP50 (per seed) | best |")
+    print("|---|---|---|---|---|")
     for arm in ARMS:
         if arm not in rows:
             continue
+        runs = sorted(rows[arm], key=lambda r: r["seed"])
         per_seed = ", ".join(
             f"s{r['seed']}: {r['final'].get('val/mAP', float('nan')):.3f}"
-            for r in sorted(rows[arm], key=lambda r: r["seed"]))
+            for r in runs)
+        ap50 = ", ".join(
+            f"s{r['seed']}: {r['final'].get('val/AP50', float('nan')):.3f}"
+            for r in runs)
         best = max(r["best_mAP"] for r in rows[arm])
-        print(f"| {arm} | {REF[arm]} | {per_seed} | {best:.3f} |")
+        print(f"| {arm} | {REF[arm]} | {per_seed} | {ap50} | {best:.3f} |")
 
 
 def main():
