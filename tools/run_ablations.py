@@ -68,11 +68,23 @@ ARMS = {
     "dcn": {"box_loss": "GIoULoss", "box_loss_weight": 5.0,
             "center_sampling_size": 3,
             "neck_config": {"out_channels": 64, "conv_type": "dcn"}},
+    # neck family (reference Aug-2021 VOC table, docs/experiments.md:50-60:
+    # FPN 25.8 < weighted 26.3 < IDA 27.6 < BiFPN 32.1 < FPN+DCNv2 37.5 —
+    # giou_cs IS the plain-FPN baseline arm, dcn the DCNv2 arm)
+    "weighted_fpn": {"box_loss": "GIoULoss", "box_loss_weight": 5.0,
+                     "center_sampling_size": 3,
+                     "neck_config": {"out_channels": 64, "weighted": True}},
+    "bifpn": {"box_loss": "GIoULoss", "box_loss_weight": 5.0,
+              "center_sampling_size": 3, "neck": "BiFPN",
+              "neck_config": {"out_channels": 64}},
+    "ida": {"box_loss": "GIoULoss", "box_loss_weight": 5.0,
+            "center_sampling_size": 3, "neck": "IDA",
+            "neck_config": {"out_channels": 64}},
 }
 
 # reference-measured anchors for the report (COCO / VOC mAP)
 REF = {"l1": 18.6, "giou": 34.6, "giou_cs": 37.3, "ttfnet": 37.2,
-       "dcn": 37.5}
+       "dcn": 37.5, "weighted_fpn": 26.3, "bifpn": 32.1, "ida": 27.6}
 
 DATASET_SEED = 7  # one fixed dataset for every arm
 
