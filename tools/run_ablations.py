@@ -91,12 +91,14 @@ DATASET_SEED = 7  # one fixed dataset for every arm
 
 def ensure_dataset(out: str) -> str:
     """A harder shapes set than the smoke one: 300 images, 2-6 shapes each
-    (small objects included), so sloppy box regression actually costs mAP."""
+    (small objects included), so sloppy box regression actually costs mAP.
+    CENTERNET_TPU_SMOKE_DATASET=1 shrinks it to 24 images (CPU test tier)."""
     root = os.path.join(out, "shapes")
+    n_images = 24 if os.environ.get("CENTERNET_TPU_SMOKE_DATASET") else 300
     if not os.path.exists(os.path.join(root, "val.json")):
         from tools.make_shapes_dataset import make_shapes_dataset
 
-        make_shapes_dataset(root, n_images=300, size=128, min_shapes=2,
+        make_shapes_dataset(root, n_images=n_images, size=128, min_shapes=2,
                             max_shapes=6, val_fraction=0.2,
                             seed=DATASET_SEED)
     return root
