@@ -58,3 +58,65 @@ def test_one_arm_end_to_end_and_report(tmp_path):
     )
     assert report.returncode == 0, report.stdout + report.stderr
     assert "giou_cs" in report.stdout and "37.3" in report.stdout
+
+
+def test_grid_driver_preemption_paths(tmp_path, monkeypatch):
+    """run_arm_subprocess: done-file short-circuit spawns nothing; a
+    hanging arm gets SIGTERM at the budget then one retry; a clean retry
+    (result file appears) reports success."""
+    import tools.run_ablations as ra
+
+    out = str(tmp_path)
+    done = os.path.join(out, "giou_s0.json")
+    with open(done, "w") as f:
+        json.dump({"arm": "giou", "seed": 0}, f)
+
+    def no_spawn(*a, **k):
+        raise AssertionError("Popen called despite existing result")
+
+    monkeypatch.setattr(ra.subprocess, "Popen", no_spawn)
+    assert ra.run_arm_subprocess("giou", 0, out, 1, arm_timeout=1)
+
+    class FakeProc:
+        """Hangs (TimeoutExpired) until terminated; 2nd attempt 'writes'
+        the result file via the calls-counting closure below."""
+
+        def __init__(self, calls):
+            self.calls = calls
+            self.terminated = False
+            self.returncode = None
+
+        def wait(self, timeout=None):
+            if not self.terminated and timeout is not None \
+                    and self.returncode is None:
+                raise subprocess.TimeoutExpired("x", timeout)
+            self.returncode = 3
+            return 3
+
+        def terminate(self):
+            self.terminated = True
+
+        def kill(self):
+            self.terminated = True
+
+    calls = []
+
+    def fake_popen(cmd, cwd=None):
+        calls.append(cmd)
+        if len(calls) == 2:  # retry succeeds: result file materializes
+            with open(os.path.join(out, "l1_s0.json"), "w") as f:
+                json.dump({"arm": "l1", "seed": 0}, f)
+            p = FakeProc(calls)
+            p.returncode = 0
+            return p
+        return FakeProc(calls)
+
+    monkeypatch.setattr(ra.subprocess, "Popen", fake_popen)
+    assert ra.run_arm_subprocess("l1", 0, out, 1, arm_timeout=0.01)
+    assert len(calls) == 2  # timed-out attempt + successful retry
+
+    # both attempts hang -> reported missing
+    calls.clear()
+    monkeypatch.setattr(
+        ra.subprocess, "Popen", lambda cmd, cwd=None: FakeProc(calls))
+    assert not ra.run_arm_subprocess("ttfnet", 0, out, 1, arm_timeout=0.01)

@@ -184,6 +184,37 @@ def run_arm(arm: str, seed: int, out: str, epochs: int) -> dict:
     return result
 
 
+def run_arm_subprocess(arm: str, seed: int, out: str, epochs: int,
+                       arm_timeout: float) -> bool:
+    """One arm in a fresh subprocess (fresh XLA client per compile pair),
+    preemption-aware: SIGTERM at the per-arm timeout so the Trainer's
+    signal handler checkpoints and exits cleanly WITHOUT writing a result
+    file (exit 3 in run_arm), then one retry — the first attempt may spend
+    its budget on fresh 128^2 compiles, the second hits the persistent
+    compilation cache and fits the whole run. Returns True when the arm's
+    result file exists."""
+    done = os.path.join(out, f"{arm}_s{seed}.json")
+    for attempt in (1, 2):
+        if os.path.exists(done):
+            return True
+        cmd = [sys.executable, os.path.abspath(__file__), "--out", out,
+               "--arm", arm, "--seed", str(seed), "--epochs", str(epochs)]
+        print(f"-> {' '.join(cmd)}  (attempt {attempt})", flush=True)
+        proc = subprocess.Popen(cmd, cwd=REPO)
+        try:
+            proc.wait(timeout=arm_timeout)
+        except subprocess.TimeoutExpired:
+            proc.terminate()  # SIGTERM: checkpoint + clean exit
+            try:
+                proc.wait(timeout=60)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                proc.wait()
+        print(f"== {arm} s{seed} attempt {attempt}: exit {proc.returncode}",
+              flush=True)
+    return os.path.exists(done)
+
+
 def report(out: str) -> None:
     rows = {}
     for name in sorted(os.listdir(out)):
@@ -214,6 +245,10 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--epochs", type=int, default=40)
     p.add_argument("--seeds", type=int, default=2, help="seeds per arm (--all)")
+    p.add_argument("--arm-timeout", type=float, default=850.0,
+                   help="per-arm wall budget in seconds (--all); SIGTERM + "
+                        "one retry — sized so a cache-hit attempt always "
+                        "fits inside the axon timeout class")
     p.add_argument("--all", action="store_true",
                    help="run every arm x seed sequentially, one subprocess "
                         "each (fresh XLA client per compile pair)")
@@ -224,18 +259,21 @@ def main():
     if args.report:
         report(args.out)
     elif args.all:
+        missing = []
         for arm in ARMS:
             for seed in range(args.seeds):
-                done = os.path.join(args.out, f"{arm}_s{seed}.json")
-                if os.path.exists(done):
+                if os.path.exists(
+                        os.path.join(args.out, f"{arm}_s{seed}.json")):
                     print(f"skip {arm} s{seed} (exists)")
                     continue
-                cmd = [sys.executable, os.path.abspath(__file__),
-                       "--out", args.out, "--arm", arm,
-                       "--seed", str(seed), "--epochs", str(args.epochs)]
-                print("->", " ".join(cmd), flush=True)
-                subprocess.run(cmd, check=True, cwd=REPO)
+                if not run_arm_subprocess(arm, seed, args.out, args.epochs,
+                                          args.arm_timeout):
+                    missing.append(f"{arm}_s{seed}")
         report(args.out)
+        if missing:
+            print(f"INCOMPLETE after retries: {', '.join(missing)} — rerun "
+                  "--all to resume (finished arms are skipped)")
+            sys.exit(4)
     elif args.arm:
         run_arm(args.arm, args.seed, args.out, args.epochs)
     else:
