@@ -266,8 +266,12 @@ def main():
                         os.path.join(args.out, f"{arm}_s{seed}.json")):
                     print(f"skip {arm} s{seed} (exists)")
                     continue
+                # the dcn arm's gather-engine step is ~2x the others
+                # (measured: 40 epochs ~900s wall vs ~450s) — 850s SIGTERMs
+                # it at step ~583/600 even on a cache-hit attempt
+                budget = args.arm_timeout * (2.0 if arm == "dcn" else 1.0)
                 if not run_arm_subprocess(arm, seed, args.out, args.epochs,
-                                          args.arm_timeout):
+                                          budget):
                     missing.append(f"{arm}_s{seed}")
         report(args.out)
         if missing:
