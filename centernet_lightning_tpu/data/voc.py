@@ -60,12 +60,19 @@ class VOCDataset:
         self.transforms = transforms
         if name_to_label:
             # the Gen-A config spelling (reference configs/helmet.yaml:24-26:
-            # name_to_label: {person: 0, hat: 1}); classes ordered by label
+            # name_to_label: {person: 0, hat: 1}). Labels may be sparse —
+            # size the class axis by the LARGEST label, not the mapping
+            # length, or out-of-range labels silently vanish from the
+            # scatter-rendered heatmap targets
             self.name_to_label = dict(name_to_label)
-            self.class_names = [
-                n for n, _ in sorted(self.name_to_label.items(),
-                                     key=lambda kv: kv[1])
-            ]
+            labels = list(self.name_to_label.values())
+            if min(labels) < 0:
+                raise ValueError(f"name_to_label has a negative label: "
+                                 f"{self.name_to_label}")
+            names = [f"class_{i}" for i in range(max(labels) + 1)]
+            for n, i in self.name_to_label.items():
+                names[i] = n
+            self.class_names = names
         else:
             self.class_names = class_names or VOC_CLASSES
             self.name_to_label = {n: i for i, n in enumerate(self.class_names)}

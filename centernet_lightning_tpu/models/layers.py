@@ -388,7 +388,12 @@ class Fuse(nn.Module):
         target_hw = inputs[0].shape[1:3]
         projected = []
         for i, f in enumerate(inputs):
-            f = ConvNormAct(self.out_channels, 1, act=None)(f, train)
+            if f.shape[-1] != self.out_channels:
+                # the reference only creates a projection conv when the
+                # input width differs (layers.py:150 `if in_c != out`);
+                # matching that keeps weighted-FPN laterals single-projected
+                # and the param structure aligned with torch checkpoints
+                f = ConvNormAct(self.out_channels, 1, act=None)(f, train)
             if f.shape[1:3] != target_hw:
                 n, _, _, c = f.shape
                 if f.shape[1] < target_hw[0]:

@@ -244,6 +244,8 @@ def build_neck(name: str, in_channels: Sequence[int], **kwargs):
         kwargs.setdefault("out_channels",
                           tuple(kwargs["upsample_channels"])[-1])
         if cls in (BiFPN, IDA):
-            # repeated-fusion necks run at ONE width; honor the narrowest
-            kwargs["out_channels"] = tuple(kwargs.pop("upsample_channels"))[-1]
+            # repeated-fusion necks run at ONE width. An explicitly
+            # configured out_channels wins; upsample_channels only supplies
+            # the default (never silently overwrite a user's width)
+            kwargs.pop("upsample_channels")
     return cls(in_channels=tuple(in_channels), **kwargs)

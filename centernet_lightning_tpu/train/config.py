@@ -364,6 +364,9 @@ def normalize_config(config: Dict[str, Any], strict: bool = False,
                              strict)
                 r.mark("trainer", k)
         for i, cb in enumerate(trainer.get("callbacks") or []):
+            if not isinstance(cb, dict):
+                # plain-string YAML list form (callbacks: [ModelCheckpoint])
+                cb = {"name": cb}
             name = cb.get("name") or cb.get("class_path") or ""
             known = _KNOWN_CALLBACKS.get(str(name).split(".")[-1])
             if known is None:
@@ -389,6 +392,16 @@ def normalize_config(config: Dict[str, Any], strict: bool = False,
 def _convert_split(r: _Reader, split: str, strict: bool) -> Dict[str, Any]:
     ds = r.peek("data", split, "dataset", default={}) or {}
     dl = r.peek("data", split, "dataloader", default={}) or {}
+    # audit the split's DIRECT children too: a key misplaced at
+    # data.<split> level (e.g. batch_size outside the dataloader block)
+    # must not escape the silent-drop audit just because the subtree as a
+    # whole is consumed
+    for k in (r.peek("data", split, default={}) or {}):
+        if k not in ("dataset", "dataloader"):
+            _unknown_key(("data", split, k),
+                         "only 'dataset' and 'dataloader' blocks live here "
+                         "(did you mean data.{}.dataloader.{}?)".format(
+                             split, k), strict)
     r.mark("data", split)
     ds_type = ds.pop("type", "coco")
     entry: Dict[str, Any] = {"type": ds_type}

@@ -139,6 +139,15 @@ class Trainer:
                 self.val_check_steps = max(
                     1, int(steps_per_epoch * float(val_check_interval)))
             elif val_check_interval > 1:
+                # Lightning raises when the batch-count form exceeds the
+                # epoch length — otherwise the mid-epoch modulo would never
+                # fire (batch_idx resets each epoch) and validation would
+                # silently never run
+                if int(val_check_interval) > steps_per_epoch:
+                    raise ValueError(
+                        f"val_check_interval={int(val_check_interval)} exceeds "
+                        f"the {steps_per_epoch} batches in an epoch; validation "
+                        f"would never run (Lightning raises here too)")
                 self.val_check_steps = int(val_check_interval)
         self.accumulate = max(1, int(accumulate_grad_batches))
         if self.accumulate > 1:
@@ -454,10 +463,13 @@ class Trainer:
                         self.lr_schedule(step // self.accumulate))
                     self.logger.log(metrics, step)
                 if (self.val_check_steps and self.val_loader is not None
-                        and (batch_idx + 1) % self.val_check_steps == 0):
+                        and (batch_idx + 1) % self.val_check_steps == 0
+                        and (epoch + 1) % self.val_interval == 0):
                     # Lightning val_check_interval: validate mid-epoch on a
                     # per-epoch batch counter (the final hit of an epoch IS
-                    # the epoch-boundary validation)
+                    # the epoch-boundary validation). check_val_every_n_epoch
+                    # COMPOSES with it in Lightning: it gates which epochs
+                    # validate at all, val_check_steps the cadence within them
                     self._run_validation(epoch + 1)
 
             if epoch == self.start_epoch:

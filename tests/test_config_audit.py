@@ -246,3 +246,36 @@ def test_ported_base_config_trains_reference_recipe():
     task = _build_task(fpn_cfg)
     assert np.isclose(task.model.heads["heatmap"].init_bias, -2.19,
                       atol=1e-9)
+
+
+def test_misplaced_key_under_data_split_is_flagged():
+    """A key misplaced directly under data.<split> (outside the dataset/
+    dataloader blocks) must hit the silent-drop audit — the blanket
+    subtree mark used to swallow it."""
+    cfg = {"model": {"task": "detection",
+                     "backbone": {"name": "resnet18"},
+                     "neck": {"name": "FPN"},
+                     "output_heads": {"heatmap": {"num_classes": 2}}},
+           "data": {"train": {"batch_size": 16,
+                              "dataset": {"type": "coco",
+                                          "img_dir": "x", "ann_json": "y"},
+                              "dataloader": {}}}}
+    with pytest.raises(UnknownKeyError, match="batch_size"):
+        normalize_config(cfg, strict=True)
+    with pytest.warns(UserWarning, match="batch_size"):
+        normalize_config(cfg, strict=False)
+
+
+def test_string_callback_entry_does_not_crash():
+    """Plain-string YAML callback lists (callbacks: [ModelCheckpoint]) go
+    through the audit instead of crashing it; unknown strings get the
+    descriptive diagnostic."""
+    base = {"model": {"task": "detection",
+                      "backbone": {"name": "resnet18"},
+                      "neck": {"name": "FPN"},
+                      "output_heads": {"heatmap": {"num_classes": 2}}}}
+    ok = dict(base, trainer={"callbacks": ["ModelCheckpoint"]})
+    normalize_config(ok, strict=True)  # no crash, no unknown-key error
+    bad = dict(base, trainer={"callbacks": ["NotACallback"]})
+    with pytest.raises(UnknownKeyError, match="NotACallback"):
+        normalize_config(bad, strict=True)

@@ -143,6 +143,20 @@ def test_voc_dataset_clamps(voc_dir):
     assert b[0] == 0 and b[0] + b[2] <= 120
 
 
+def test_voc_sparse_name_to_label_sizes_class_axis(voc_dir):
+    """Non-contiguous label values must size num_classes by the LARGEST
+    label (a len(mapping)-sized class axis silently drops the high-label
+    boxes from scatter-rendered heatmap targets)."""
+    ds = VOCDataset(voc_dir, split="train",
+                    name_to_label={"person": 0, "car": 2})
+    assert ds.num_classes == 3
+    assert ds.class_names[0] == "person" and ds.class_names[2] == "car"
+    item = ds[0]
+    assert set(item["labels"]) == {0, 2}
+    with pytest.raises(ValueError, match="negative"):
+        VOCDataset(voc_dir, split="train", name_to_label={"person": -1})
+
+
 def test_mot_dataset_sequences(mot_dir):
     ds = MOTTrackingDataset(mot_dir)
     assert len(ds) == 3

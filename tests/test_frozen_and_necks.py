@@ -238,3 +238,101 @@ def test_val_check_interval_one_means_epoch_boundary(tmp_path):
     trainer.validate = lambda: (calls.append(1), {"val/mAP": 0.0})[1]
     trainer.fit()
     assert len(calls) == 2  # once per epoch
+
+
+def test_val_check_interval_exceeding_epoch_raises(tmp_path):
+    """An int val_check_interval larger than the epoch would NEVER fire
+    (the per-epoch batch counter resets), silently disabling validation —
+    Lightning raises a ValueError here and so do we."""
+    from centernet_lightning_tpu.train.trainer import Trainer
+
+    task = _tiny_task()
+    loader = _TinyLoader(4)
+    with pytest.raises(ValueError, match="val_check_interval"):
+        Trainer(task, train_loader=loader, val_loader=loader,
+                max_epochs=1, image_size=(32, 32),
+                ckpt_dir=None, log_dir=str(tmp_path / "logs"),
+                val_check_interval=500,
+                optimizer_config={"optimizer": "Adam", "lr": 1e-3,
+                                  "warmup_epochs": 0},
+                diagnostics=False)
+
+
+def test_val_check_interval_composes_with_epoch_cadence(tmp_path):
+    """check_val_every_n_epoch gates WHICH epochs validate;
+    val_check_interval the cadence WITHIN them (Lightning composition):
+    every-2-epochs + 0.5/epoch over 2 epochs = 2 validations, both in
+    epoch 2."""
+    from centernet_lightning_tpu.train.trainer import Trainer
+
+    task = _tiny_task()
+    loader = _TinyLoader(8)
+    trainer = Trainer(task, train_loader=loader, val_loader=loader,
+                      max_epochs=2, image_size=(32, 32),
+                      ckpt_dir=None, log_dir=str(tmp_path / "logs"),
+                      val_interval=2, val_check_interval=0.5,
+                      optimizer_config={"optimizer": "Adam", "lr": 1e-3,
+                                        "warmup_epochs": 0},
+                      diagnostics=False)
+    calls = []
+    trainer.validate = lambda: (calls.append(int(trainer.state.step)),
+                                {"val/mAP": 0.0})[1]
+    trainer.fit()
+    # none in epoch 1 (steps 1-8), two in epoch 2 (steps 9-16)
+    assert len(calls) == 2 and all(s > 8 for s in calls)
+
+
+# ---------------------------------------------------------------------------
+# Fuse projection parity + build_neck width precedence
+# ---------------------------------------------------------------------------
+
+def test_fuse_skips_projection_when_channels_match():
+    """The reference only creates a 1x1 projection when the input width
+    differs (reference models/layers.py:150 `if in_c != out`); a
+    matching-width input must flow through unprojected so converted torch
+    checkpoints pair structurally."""
+    from centernet_lightning_tpu.models.layers import Fuse
+
+    x16 = jnp.ones((1, 8, 8, 16))
+    y16 = jnp.ones((1, 4, 4, 16))
+    y8 = jnp.ones((1, 4, 4, 8))
+
+    def n_projections(inputs):
+        v = Fuse(16).init(jax.random.PRNGKey(0), inputs, train=True)
+        return sum("ConvNormAct" in "/".join(str(k) for k in p)
+                   for p, _ in
+                   jax.tree_util.tree_leaves_with_path(v["params"])
+                   ) // 4  # kernel+bias+scale+bias per ConvNormAct
+
+    assert n_projections([x16, y16]) == 0
+    assert n_projections([x16, y8]) == 1
+
+
+def test_weighted_fpn_single_projection_per_lateral():
+    """weighted FPN laterals are projected ONCE (in the lateral conv);
+    Fuse must not re-project the already-width-matched inputs — the
+    round-3 double projection inflated the weighted arm's capacity vs the
+    reference Fuse node."""
+    plain = FPN(in_channels=(4, 8, 16, 32), out_channels=16, weighted=False)
+    weighted = FPN(in_channels=(4, 8, 16, 32), out_channels=16, weighted=True)
+    n_plain = sum(np.asarray(l).size for l in jax.tree_util.tree_leaves(
+        plain.init(jax.random.PRNGKey(0), PYRAMID, train=True)["params"]))
+    n_weighted = sum(np.asarray(l).size for l in jax.tree_util.tree_leaves(
+        weighted.init(jax.random.PRNGKey(0), PYRAMID, train=True)["params"]))
+    # weighted adds ONLY the per-node fusion weight vectors (2 floats per
+    # Fuse node x 3 nodes) over the unweighted path
+    assert n_weighted == n_plain + 2 * 3
+
+
+def test_build_neck_explicit_out_channels_wins():
+    """An explicitly configured out_channels must not be silently
+    overwritten by upsample_channels for the single-width necks."""
+    neck = build_neck("bifpn", (4, 8, 16, 32), out_channels=16,
+                      upsample_channels=[32, 16, 8])
+    assert neck.out_channels == 16
+    neck = build_neck("ida", (4, 8, 16, 32), out_channels=16,
+                      upsample_channels=[32, 16, 8])
+    assert neck.out_channels == 16
+    # default still comes from upsample_channels[-1] when not set
+    neck = build_neck("bifpn", (4, 8, 16, 32), upsample_channels=[32, 16, 8])
+    assert neck.out_channels == 8

@@ -120,3 +120,19 @@ def test_grid_driver_preemption_paths(tmp_path, monkeypatch):
     monkeypatch.setattr(
         ra.subprocess, "Popen", lambda cmd, cwd=None: FakeProc(calls))
     assert not ra.run_arm_subprocess("ttfnet", 0, out, 1, arm_timeout=0.01)
+
+
+def test_dataset_size_marker_blocks_mismatched_reuse(tmp_path, monkeypatch):
+    """A stale smoke (24-image) shapes set left in --out must not be
+    silently reused by a real (300-image) run: arm results measured on it
+    would look real and the resume logic would pin them forever."""
+    from tools.run_ablations import ensure_dataset
+
+    monkeypatch.setenv("CENTERNET_TPU_SMOKE_DATASET", "1")
+    root = ensure_dataset(str(tmp_path))
+    assert open(os.path.join(root, "DATASET_SIZE")).read() == "24"
+    ensure_dataset(str(tmp_path))  # same size: fine
+
+    monkeypatch.delenv("CENTERNET_TPU_SMOKE_DATASET")
+    with pytest.raises(SystemExit, match="24-image"):
+        ensure_dataset(str(tmp_path))

@@ -348,19 +348,23 @@ def test_conv_transpose_upsample_conversion(rng):
 
 
 class TorchFuse(nn.Module):
-    def __init__(self, n_in, ch):
+    def __init__(self, in_chs, ch):
         super().__init__()
+        # reference layers.py:150: a projection conv exists ONLY when the
+        # input width differs (in_c != out) — the flax Fuse matches
         self.projs = nn.ModuleList(
-            [TorchConvBnReLU(ch, ch, 1, act=False) for _ in range(n_in)]
+            [TorchConvBnReLU(c, ch, 1, act=False) if c != ch else None
+             for c in in_chs]
         )
-        self.fuse_weights = nn.Parameter(torch.ones(n_in))
+        self.fuse_weights = nn.Parameter(torch.ones(len(in_chs)))
         self.out = TorchConvBnReLU(ch, ch, 3)
 
     def forward(self, inputs):
         target = inputs[0].shape[-2:]
         projected = []
         for p, f in zip(self.projs, inputs):
-            f = p(f)
+            if p is not None:
+                f = p(f)
             if f.shape[-2:] != target:
                 if f.shape[-2] < target[-2]:
                     f = F.interpolate(f, size=target, mode="nearest")
@@ -386,9 +390,9 @@ class TorchBiFPN(nn.Module):
         fuses = []
         for _ in range(repeats):
             for _ in range(n - 1):          # top-down
-                fuses.append(TorchFuse(2, ch))
+                fuses.append(TorchFuse([ch, ch], ch))
             for i in range(1, n):           # bottom-up
-                fuses.append(TorchFuse(3 if i < n - 1 else 2, ch))
+                fuses.append(TorchFuse([ch] * (3 if i < n - 1 else 2), ch))
         self.fuses = nn.ModuleList(fuses)
         self.n = n
         self.repeats = repeats
@@ -700,3 +704,35 @@ def test_dcn_block_without_norm_converts_bias(rng):
     ref = jnp.maximum(ref + b_dcn, 0.0)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_fuse_projection_on_width_mismatch_converts(rng):
+    """A Fuse whose input width differs DOES own a projection conv
+    (reference layers.py:150) — keep that leg of the structural pairer
+    covered now that matched-width inputs skip it."""
+    import jax
+    from centernet_lightning_tpu.models.layers import Fuse
+    from centernet_lightning_tpu.utils.torch_convert import (
+        convert_module_by_order,
+    )
+
+    torch.manual_seed(5)
+    tf = TorchFuse([16, 24], 24).eval()
+    _randomize_bn(tf)
+
+    feats = [jnp.asarray(rng.normal(size=(1, 8, 8, c)).astype(np.float32))
+             for c in (16, 24)]
+    fuse = Fuse(24, weighted=True)
+    template = fuse.init(jax.random.PRNGKey(0), feats, train=False)
+    params, stats = convert_module_by_order(
+        tf.state_dict(), template["params"], template.get("batch_stats", {}))
+
+    t_feats = [torch.from_numpy(np.asarray(f).transpose(0, 3, 1, 2).copy())
+               for f in feats]
+    with torch.no_grad():
+        t_y = tf(t_feats)
+    f_y = fuse.apply({"params": params, "batch_stats": stats}, feats,
+                     train=False)
+    np.testing.assert_allclose(
+        t_y.numpy().transpose(0, 2, 3, 1), np.asarray(f_y),
+        rtol=1e-3, atol=1e-4)

@@ -157,14 +157,15 @@ def test_parse_logger_config_lightning_shapes():
     assert out["project"] == "coco"
 
 
-def test_val_interval_mapping(capsys):
+def test_val_interval_mapping():
     import train as train_cli
 
     v = train_cli._val_interval
     assert v({}) == 1
     assert v({"check_val_every_n_epoch": 3}) == 3
-    assert v({"val_check_interval": 0.5}) == 1  # sub-epoch -> every epoch
-    assert "val_check_interval" in capsys.readouterr().out
+    # val_check_interval now drives the Trainer's REAL mid-epoch cadence
+    # (passed separately in train.py); the epoch cadence keeps its default
+    assert v({"val_check_interval": 0.5}) == 1
 
 
 def test_save_resolved_config_writes_yaml(tmp_path):

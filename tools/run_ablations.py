@@ -95,12 +95,34 @@ def ensure_dataset(out: str) -> str:
     CENTERNET_TPU_SMOKE_DATASET=1 shrinks it to 24 images (CPU test tier)."""
     root = os.path.join(out, "shapes")
     n_images = 24 if os.environ.get("CENTERNET_TPU_SMOKE_DATASET") else 300
-    if not os.path.exists(os.path.join(root, "val.json")):
-        from tools.make_shapes_dataset import make_shapes_dataset
+    # the size marker prevents a stale smoke (24-image) set left in --out
+    # from being silently reused by a real run (or vice versa): arm results
+    # measured on the wrong set would look identical to real ones and the
+    # resumable skip-if-exists logic would pin them forever
+    marker = os.path.join(root, "DATASET_SIZE")
+    if os.path.exists(os.path.join(root, "val.json")):
+        if os.path.exists(marker):
+            with open(marker) as f:
+                existing = int(f.read().strip())
+        else:  # pre-marker dataset: count it and stamp the marker
+            existing = sum(
+                len(json.load(open(os.path.join(root, s)))["images"])
+                for s in ("train.json", "val.json"))
+            with open(marker, "w") as f:
+                f.write(str(existing))
+        if existing != n_images:
+            raise SystemExit(
+                f"{root} holds a {existing}-image shapes set but this run "
+                f"needs {n_images} images; delete it (or use a different "
+                f"--out) before re-running")
+        return root
+    from tools.make_shapes_dataset import make_shapes_dataset
 
-        make_shapes_dataset(root, n_images=n_images, size=128, min_shapes=2,
-                            max_shapes=6, val_fraction=0.2,
-                            seed=DATASET_SEED)
+    make_shapes_dataset(root, n_images=n_images, size=128, min_shapes=2,
+                        max_shapes=6, val_fraction=0.2,
+                        seed=DATASET_SEED)
+    with open(marker, "w") as f:
+        f.write(str(n_images))
     return root
 
 
