@@ -216,6 +216,7 @@ class Trainer:
                                           ema_every=self.accumulate)
         self.eval_step = make_eval_step(task)
         self._feature_fn = None  # lazy jitted backbone-feature diagnostic
+        self._diag_warned = False  # first diagnostic failure warns once
         self.best_metric = -np.inf if monitor_mode == "max" else np.inf
         if hasattr(self, "_resumed_best"):
             self.best_metric = self._resumed_best
@@ -346,8 +347,8 @@ class Trainer:
             ))
             grid = render_heatmap_diagnostic(img, hm)
             self.logger.log_image("diagnostics/target_heatmap", grid, 0)
-        except Exception:
-            pass  # diagnostics must never break training
+        except Exception as exc:  # diagnostics must never break training
+            self._warn_diagnostic_failure("target_heatmap", exc)
 
     def _install_preemption_handler(self):
         """SIGTERM/SIGINT request a graceful stop: finish the current step,
@@ -531,8 +532,22 @@ class Trainer:
                 scores=np.asarray(dets["scores"][0]), step=step,
             )
             self._log_feature_diagnostic(batch, step)
-        except Exception:
-            pass
+        except Exception as exc:  # diagnostics must never break training
+            self._warn_diagnostic_failure("val_predictions", exc)
+
+    def _warn_diagnostic_failure(self, which: str, exc: Exception):
+        """Diagnostics are best-effort, but a broken diagnostic pipeline
+        must not stay invisible: surface the FIRST failure per run as a
+        warning (subsequent ones are suppressed to keep logs readable)."""
+        if self._diag_warned:
+            return
+        self._diag_warned = True
+        import warnings
+
+        warnings.warn(
+            f"diagnostic logging ({which}) failed and will be skipped for "
+            f"this run: {type(exc).__name__}: {exc}",
+            RuntimeWarning, stacklevel=3)
 
     def _log_feature_diagnostic(self, batch, step: int):
         """Backbone feature colormaps — the last piece of the
