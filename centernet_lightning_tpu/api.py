@@ -266,7 +266,7 @@ class CenterNetPredictor:
         }
 
     def track_stream(self, batches, tracker_config: Optional[Dict] = None,
-                     **tracker_kwargs):
+                     pipeline_depth: int = 1, **tracker_kwargs):
         """Pipelined tracking over an iterator of `(frames, n_valid)` pairs,
         where `frames` is a uint8/float (B, H, W, 3) array at the model's
         image size and `n_valid <= B` marks how many leading frames are
@@ -283,6 +283,14 @@ class CenterNetPredictor:
         runs batch i's Hungarian association, so the TPU computes while the
         host associates (SURVEY.md §7 hard parts). The numpy conversion
         (the only blocking point) happens AFTER the next dispatch.
+
+        pipeline_depth: number of batches in flight. 1 (default) keeps the
+        dispatch inline on the caller's thread. >= 2 moves H2D upload +
+        dispatch to a background thread with up to `pipeline_depth` batches
+        queued — required when the upload itself blocks the host (remote
+        TPU tunnels, slow PCIe): with an inline dispatch the upload
+        serializes against the Hungarian association, so association time
+        is never hidden no matter how fast the device is.
         """
         assert self.task.reid_config is not None, (
             "tracking needs a model with a reid head (reid_config)"
@@ -300,19 +308,29 @@ class CenterNetPredictor:
         k = cfg.get("num_detections", tracker.num_detections)
         nms = cfg.get("nms_kernel")
 
-        it = iter(batches)
-        nxt = next(it, None)
-        pending = None
-        if nxt is not None:
-            pending = (nxt[1], self._gather_tracking_device(
-                nxt[0], num_detections=k, nms_kernel=nms))
-        while pending is not None:
-            n, dets_dev = pending
-            nxt = next(it, None)
-            pending = None
-            if nxt is not None:
-                pending = (nxt[1], self._gather_tracking_device(
-                    nxt[0], num_detections=k, nms_kernel=nms))
+        if pipeline_depth >= 2:
+            pending_iter = self._threaded_dispatch(
+                batches, pipeline_depth, num_detections=k, nms_kernel=nms)
+        else:
+            def inline_dispatch():
+                it = iter(batches)
+                nxt = next(it, None)
+                pending = None
+                if nxt is not None:
+                    pending = (nxt[1], self._gather_tracking_device(
+                        nxt[0], num_detections=k, nms_kernel=nms))
+                while pending is not None:
+                    n, dets_dev = pending
+                    nxt = next(it, None)
+                    pending = None
+                    if nxt is not None:
+                        pending = (nxt[1], self._gather_tracking_device(
+                            nxt[0], num_detections=k, nms_kernel=nms))
+                    yield n, dets_dev
+
+            pending_iter = inline_dispatch()
+
+        for n, dets_dev in pending_iter:
             boxes = np.asarray(dets_dev["boxes"])
             labels = np.asarray(dets_dev["labels"])
             scores = np.asarray(dets_dev["scores"])
@@ -327,6 +345,56 @@ class CenterNetPredictor:
                     "num_detections": int(
                         (scores[i] >= tracker.detection_threshold).sum()),
                 }
+
+    def _threaded_dispatch(self, batches, depth: int, **gather_kwargs):
+        """Upload + dispatch batches on a background thread, keeping up to
+        `depth` batches in flight; yields (n_valid, device_dets) in input
+        order. This makes the (potentially host-blocking) H2D upload of
+        batch i+1 overlap the consumer's host work on batch i — jnp.asarray
+        of a full frame batch is a synchronous copy, and over a remote-TPU
+        tunnel it IS the serving bottleneck (measured in bench_track.py)."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=max(depth - 1, 1))
+        stop = threading.Event()
+        _END = object()
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def worker():
+            try:
+                for frames, n in batches:
+                    if stop.is_set():
+                        return
+                    dev = self._gather_tracking_device(frames, **gather_kwargs)
+                    if not put((n, dev)):
+                        return
+            except BaseException as exc:  # surfaced on the consumer thread
+                put(exc)
+                return
+            put(_END)
+
+        t = threading.Thread(target=worker, daemon=True,
+                             name="track_stream_dispatch")
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
 
     def inference_tracking(self, img_dir: str, batch_size: int = 4,
                            save_dir: Optional[str] = None,

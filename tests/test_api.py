@@ -165,6 +165,49 @@ def test_track_stream_contract():
     assert list(model.track_stream(iter(()), num_detections=5)) == []
 
 
+def test_track_stream_pipeline_depth_equivalent():
+    """pipeline_depth >= 2 (background-thread upload+dispatch) yields the
+    exact same per-frame results, in order, as the inline depth-1 path —
+    the depth knob is a latency-hiding change only."""
+    cfg = dict(TINY_MODEL)
+    cfg["num_classes"] = 1
+    cfg["reid_config"] = {"emb_dim": 8, "max_track_ids": 20}
+    model = build_centernet({"model": cfg})
+
+    h, w = model.image_size
+
+    def batches():
+        rng = np.random.default_rng(1)
+        for n_valid in (2, 2, 1, 2):
+            yield rng.integers(0, 255, (2, h, w, 3), dtype=np.uint8), n_valid
+
+    kw = dict(detection_threshold=0.0, min_birth_age=1, num_detections=5)
+    ref = list(model.track_stream(batches(), **kw))
+    deep = list(model.track_stream(batches(), pipeline_depth=3, **kw))
+    assert len(deep) == len(ref) == 7
+    for a, b in zip(ref, deep):
+        assert a["track_ids"] == b["track_ids"]
+        assert a["num_detections"] == b["num_detections"]
+        np.testing.assert_allclose(np.asarray(a["bboxes"], np.float32),
+                                   np.asarray(b["bboxes"], np.float32))
+
+    # abandoning the generator early must not deadlock the worker thread
+    import threading
+
+    n_before = threading.active_count()
+    gen = model.track_stream(batches(), pipeline_depth=2, **kw)
+    next(gen)
+    gen.close()
+    deadline = 50
+    while threading.active_count() > n_before and deadline:
+        import time as _t
+
+        _t.sleep(0.1)
+        deadline -= 1
+    assert not any(t.name == "track_stream_dispatch" and t.is_alive()
+                   for t in threading.enumerate())
+
+
 def test_gather_detection2d_from_encoded_outputs():
     """Two-step README contract: encoded = model(x); gather(encoded)."""
     import jax.numpy as jnp2
