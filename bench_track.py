@@ -233,9 +233,13 @@ def main():
         tracker.update(*det)
     host_ms = (time.perf_counter() - t0) / max(len(pre), 1) * 1e3
 
-    # the tunnel serializes H2D and D2H; device compute and host assoc can
-    # hide behind them (pipeline_depth >= 2)
-    ideal_ms = max(h2d_ms + d2h_ms, compute_ms, host_ms)
+    # pipelined ideal: the slowest single stage bounds a perfectly
+    # overlapped pipeline (the tunnel streams H2D/D2H asynchronously and is
+    # full-duplex, so they are separate stages). overlap > 1 means the wall
+    # run beat even this bound — the forced-completion bandwidth probe
+    # understates streaming throughput (per-transfer sync + mild
+    # compressibility of the synthetic frames vs the probe's random bytes).
+    ideal_ms = max(h2d_ms, d2h_ms, compute_ms, host_ms)
     overlap = ideal_ms / pipelined_ms if pipelined_ms else 0.0
     accounted = h2d_ms + compute_ms + d2h_ms + host_ms
     # local-TPU-host projection: upload/readback ride PCIe (>= 10 GB/s,
