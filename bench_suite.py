@@ -56,10 +56,16 @@ CONFIGS = {
                      "conv_type": "dcn_fast"},
         head_config={"width": 128, "depth": 2},
     ),
-    "resnet18_dcn_fast_d1": dict(           # D=1 speed knob: 16 shift terms
-        backbone="resnet18", neck="FPN",    # (offsets clamped ±1)
-        neck_config={"out_channels": 128,
+    "resnet18_dcn_fast_d1": dict(           # D=1 speed knob: 9 shift terms
+        backbone="resnet18", neck="FPN",    # (offsets clamped ±1; round-5
+        neck_config={"out_channels": 128,   # boundary-corner remap)
                      "conv_type": "dcn_fast_d1"},
+        head_config={"width": 128, "depth": 2},
+    ),
+    "resnet18_dcn_fused_d1": dict(          # fused sampling+matmul kernel
+        backbone="resnet18", neck="FPN",
+        neck_config={"out_channels": 128,
+                     "conv_type": "dcn_fused_d1"},
         head_config={"width": 128, "depth": 2},
     ),
     "efficientnet_b0": dict(                # reference test-grid backbone

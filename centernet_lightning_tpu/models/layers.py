@@ -228,29 +228,77 @@ class DeformableConvBlock(nn.Module):
             off_t = jnp.moveaxis(off, 3, 1)                  # (N, T, H, W, 2)
             u = tap_y_c[None, :, None, None] + jnp.clip(off_t[..., 0], -d, d)
             v = tap_x_c[None, :, None, None] + jnp.clip(off_t[..., 1], -d, d)
-            a0f = jnp.floor(u)
+            # floor clipped into [tap-d, tap+d-1]: at the u == tap+d clamp
+            # boundary this remaps (floor=tap+d, f=0) to the numerically
+            # IDENTICAL (floor=tap+d-1, f=1) — bilinear weight falls
+            # entirely on the floor+1 corner either way — so the shift
+            # engines need only (2d+1)^2 terms instead of (2d+2)^2
+            # (d=1: 16->9, d=2: 36->25) with zero semantics change
+            a0f = jnp.clip(jnp.floor(u), tap_y_c[None, :, None, None] - d,
+                           tap_y_c[None, :, None, None] + d - 1)
             fy = u - a0f
-            b0f = jnp.floor(v)
+            b0f = jnp.clip(jnp.floor(v), tap_x_c[None, :, None, None] - d,
+                           tap_x_c[None, :, None, None] + d - 1)
             fx = v - b0f
             a0 = a0f.astype(jnp.int32)
             b0 = b0f.astype(jnp.int32)
             wm = (jnp.moveaxis(mask, 3, 1) if mask is not None
                   else jnp.ones_like(fy))
-            # accumulation in the input dtype: each pixel's sum has only 4
-            # nonzero bilinear terms, so this costs no more precision than
-            # the matmul that follows
-            if use_pallas:
-                tap_vals = pallas_dcn.dcn_sample_all_taps(
-                    xp, a0, b0, fy, fx, wm, d, taps, h, w)
+            # fused kernel is opt-in (sampler="fused") pending TPU compile
+            # validation; "auto" stays on the measured per-tap engines
+            use_fused = self.sampler == "fused" and (
+                jax.default_backend() != "tpu"
+                or pallas_dcn.fused_dcn_supported(
+                    c, h, w, d, x.dtype, self.out_channels))
+            if use_fused:
+                # fused sampling + matmul kernel (NHWC): build the combined
+                # per-term weight tensor w9 = wy * wx * mask, (N,T,S,S,H,W)
+                # with S = 2d+1 (boundary-remapped floors above guarantee
+                # a0 in [tap-d, tap+d-1])
+                s_count = 2 * d + 1
+                sa_vals = (tap_y_c[:, None]
+                           + jnp.arange(s_count, dtype=jnp.float32)[None, :]
+                           - d)                                # (T, S)
+                sb_vals = (tap_x_c[:, None]
+                           + jnp.arange(s_count, dtype=jnp.float32)[None, :]
+                           - d)
+                a0e = a0f[:, :, None]                          # (N,T,1,H,W)
+                b0e = b0f[:, :, None]
+                sa_b = sa_vals[None, :, :, None, None]
+                sb_b = sb_vals[None, :, :, None, None]
+                wy = jnp.where(a0e == sa_b, 1.0 - fy[:, :, None],
+                               jnp.where(a0e + 1.0 == sa_b, fy[:, :, None],
+                                         0.0))
+                wy = wy * wm[:, :, None]
+                wx = jnp.where(b0e == sb_b, 1.0 - fx[:, :, None],
+                               jnp.where(b0e + 1.0 == sb_b, fx[:, :, None],
+                                         0.0))
+                # f32: the kernel's lane-broadcast of the weight plane
+                # requires a 32-bit type (Mosaic minor-dim insertion)
+                w9 = (wy[:, :, :, None] * wx[:, :, None, :]).astype(
+                    jnp.float32)
+                pad_n = d + 2
+                xp_nhwc = jnp.pad(
+                    x, ((0, 0), (pad_n, pad_n), (pad_n, pad_n), (0, 0)))
+                y = pallas_dcn.dcn_fused_conv(
+                    xp_nhwc, w9, kernel.reshape(k * k, c, self.out_channels),
+                    d, taps, h, w)
             else:
-                tap_vals = pallas_dcn._xla_all(
-                    xp, a0, b0, fy, fx, wm, d, taps, h, w)
-            for t in range(k * k):
-                acc = acc + jnp.einsum(
-                    "nchw,co->nhwo", tap_vals[t],
-                    kernel[t * c:(t + 1) * c],
-                    preferred_element_type=jnp.float32)
-            y = acc.astype(x.dtype)
+                # accumulation in the input dtype: each pixel's sum has
+                # only 4 nonzero bilinear terms, so this costs no more
+                # precision than the matmul that follows
+                if use_pallas:
+                    tap_vals = pallas_dcn.dcn_sample_all_taps(
+                        xp, a0, b0, fy, fx, wm, d, taps, h, w)
+                else:
+                    tap_vals = pallas_dcn._xla_all(
+                        xp, a0, b0, fy, fx, wm, d, taps, h, w)
+                for t in range(k * k):
+                    acc = acc + jnp.einsum(
+                        "nchw,co->nhwo", tap_vals[t],
+                        kernel[t * c:(t + 1) * c],
+                        preferred_element_type=jnp.float32)
+                y = acc.astype(x.dtype)
         else:
             for t in range(k * k):
                 sample_y = ys[None] + tap_y[t] + off[..., t, 0]     # (N, H, W)
@@ -291,6 +339,13 @@ CONV_BLOCKS = {
     "dcn_fast_d2": _functools.partial(DeformableConvBlock, max_displacement=2),
     "dcn_fast_d3": _functools.partial(DeformableConvBlock, max_displacement=3),
     "dcn_fast_d4": _functools.partial(DeformableConvBlock, max_displacement=4),
+    # fused sampling+matmul kernel (ops/pallas_dcn.dcn_fused_conv):
+    # single Pallas program per DCN layer — no HBM tap round trips, no
+    # NCHW transposes, MXU matmul in-kernel
+    "dcn_fused_d1": _functools.partial(DeformableConvBlock,
+                                       max_displacement=1, sampler="fused"),
+    "dcn_fused_d2": _functools.partial(DeformableConvBlock,
+                                       max_displacement=2, sampler="fused"),
 }
 
 

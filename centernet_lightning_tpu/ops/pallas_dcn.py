@@ -31,16 +31,20 @@ unchanged; the kernel accelerates the forward/serving path.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
-__all__ = ["dcn_sample_all_taps", "pallas_dcn_supported", "xla_tap_sample"]
+__all__ = ["dcn_sample_all_taps", "pallas_dcn_supported", "xla_tap_sample",
+           "dcn_fused_conv", "fused_dcn_supported"]
 
 
 def _tap_terms(d: int, ity: int, itx: int):
-    return range(ity - d, ity + d + 2), range(itx - d, itx + d + 2)
+    """Shift values covering corners a0/b0 and a0+1/b0+1 with the floors
+    clipped into [tap-d, tap+d-1] (models/layers.py boundary-corner remap):
+    (2d+1)^2 terms, down from the naive (2d+2)^2."""
+    return range(ity - d, ity + d + 1), range(itx - d, itx + d + 1)
 
 
 def xla_tap_sample(xp, a0, b0, fy, fx, wm, d, ity, itx, out_h, out_w):
@@ -192,6 +196,214 @@ def _xla_all(xp, a0, b0, fy, fx, wm, d, taps, out_h, out_w):
                        d, ity, itx, out_h, out_w)
         for t, (ity, itx) in enumerate(taps)
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused DCN: sampling + per-tap matmul in ONE kernel (NHWC)
+# ---------------------------------------------------------------------------
+#
+# out[n,i,j,o] = sum_t sum_{si,sj} w9[n,t,si,sj,i,j] * xp[n, i+sa, j+sb, :] @ W[t]
+# with sa = tap_y[t]-d+si, sb = tap_x[t]-d+sj  (S = 2d+1 shifts per axis,
+# the boundary-corner remap in models/layers.py guarantees coverage).
+#
+# Why fused: the per-tap sampling kernels materialize 9 (N,C,H,W) tap maps
+# through HBM and the einsum stage re-reads them plus round-trips the f32
+# accumulator — at the BASELINE DCN shape that traffic plus the NCHW
+# transposes costs several ms/batch on top of the VPU-bound sampling. Here
+# the sampled tap lives only in VMEM, feeds the MXU immediately, and the
+# output comes out NHWC ready for BatchNorm. The input stays in HBM
+# (memory_space ANY) and each grid step DMAs one (th+2p, Wp, C) band.
+
+
+def _fused_kernel(w9_ref, w_ref, xp_ref, out_ref, band_ref, band32_ref,
+                  samp_ref, acc_ref, sem,
+                  *, d: int, taps, th: int, out_w: int, pad: int,
+                  out_dtype):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_idx = pl.program_id(0)
+    row0 = pl.program_id(1) * th
+    # one band DMA per grid step: rows [row0, row0 + th + 2*pad)
+    copy = pltpu.make_async_copy(
+        xp_ref.at[n_idx, pl.ds(row0, th + 2 * pad)], band_ref, sem)
+    copy.start()
+    copy.wait()
+    o = w_ref.shape[-1]
+    # interior math in f32: Mosaic's minor-dim insertion (the w[..., None]
+    # lane broadcast) only supports 32-bit types, and round-3 measured f32
+    # vs bf16 VPU term math flat (the VPU does not pack bf16). Explicit
+    # scratch refs for every accumulator keep the VMEM stack flat (a
+    # register add-chain made Mosaic keep one temporary per term live).
+    band32_ref[...] = band_ref[...].astype(jnp.float32)
+    for t, (ity, itx) in enumerate(taps):
+        for si, sa in enumerate(range(ity - d, ity + d + 1)):
+            for sj, sb in enumerate(range(itx - d, itx + d + 1)):
+                sl = band32_ref[pad + sa:pad + sa + th,
+                                pad + sb:pad + sb + out_w, :]
+                term = w9_ref[0, t, si, sj][..., None] * sl
+                if si == 0 and sj == 0:
+                    samp_ref[...] = term
+                else:
+                    samp_ref[...] = samp_ref[...] + term
+        part = jnp.dot(
+            samp_ref[...].astype(w_ref.dtype).reshape(th * out_w, -1),
+            w_ref[t], preferred_element_type=jnp.float32)
+        if t == 0:
+            acc_ref[...] = part
+        else:
+            acc_ref[...] = acc_ref[...] + part
+    out_ref[0] = acc_ref[...].reshape(th, out_w, o).astype(out_dtype)
+
+
+def _fused_vmem_need(c: int, h: int, w: int, d: int, dtype,
+                     out_channels: int, th: int, num_taps: int = 9) -> int:
+    pad = d + 2
+    s = 2 * d + 1
+    itemsize = jnp.dtype(dtype).itemsize
+
+    def lanes(x):
+        return -(-x // 128) * 128
+
+    sub = 16 if itemsize == 2 else 8
+
+    def subl(x):
+        return -(-x // sub) * sub
+
+    band = (th + 2 * pad) * subl(w + 2 * pad) * lanes(c) * itemsize
+    band32 = (th + 2 * pad) * subl(w + 2 * pad) * lanes(c) * 4  # f32 interior
+    w9 = num_taps * s * s * subl(th) * lanes(w) * 4              # f32 planes
+    wmat = num_taps * subl(c) * lanes(out_channels) * itemsize
+    out_blk = -(-th * w // 8) * 8 * lanes(out_channels) * itemsize
+    acc = -(-th * w // 8) * 8 * lanes(out_channels) * 4
+    samp = th * subl(w) * lanes(c) * 4                           # f32
+    # double-buffered w9/out blocks + band (scratch) + f32 band copy +
+    # weights + acc + samp live + ~2 temporaries
+    return (2 * w9 + 2 * out_blk + band + band32 + 2 * wmat + 2 * acc
+            + 3 * samp)
+
+
+def _pick_fused_th(c: int, h: int, w: int, d: int, dtype,
+                   out_channels: int) -> Optional[int]:
+    """Largest row tile dividing h whose working set fits VMEM."""
+    for cand in (32, 16, 8):
+        if h % cand == 0 and _fused_vmem_need(
+                c, h, w, d, dtype, out_channels,
+                min(h, cand)) <= 13 * 1024 * 1024:
+            return min(h, cand)
+    return None
+
+
+def fused_dcn_supported(c: int, h: int, w: int, d: int, dtype,
+                        out_channels: int, num_taps: int = 9) -> bool:
+    """Some row tile must divide evenly with the per-step VMEM working set
+    (band + w9 block + weights + out block + live temporaries) fitting."""
+    if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32),
+                                jnp.dtype(jnp.bfloat16)):
+        return False
+    return _pick_fused_th(c, h, w, d, dtype, out_channels) is not None
+
+
+def _xla_fused_ref(xp, w9, kernel, d, taps, out_h, out_w):
+    """Reference/backward implementation of the fused op in plain XLA.
+    xp (N, Hp, Wp, C) zero-padded NHWC; w9 (N, T, S, S, H, W) combined
+    per-term weights (wy*wx*mask); kernel (T, C, O)."""
+    n, _, _, c = xp.shape
+    pad = d + 2
+    o = kernel.shape[-1]
+    acc = jnp.zeros((n, out_h, out_w, o), jnp.float32)
+    for t, (ity, itx) in enumerate(taps):
+        samp = jnp.zeros((n, out_h, out_w, c), xp.dtype)
+        for si, sa in enumerate(range(ity - d, ity + d + 1)):
+            for sj, sb in enumerate(range(itx - d, itx + d + 1)):
+                sl = jax.lax.slice(
+                    xp, (0, pad + sa, pad + sb, 0),
+                    (n, pad + sa + out_h, pad + sb + out_w, c))
+                samp = samp + w9[:, t, si, sj, :, :, None].astype(xp.dtype) * sl
+        acc = acc + jnp.einsum("nhwc,co->nhwo", samp, kernel[t],
+                               preferred_element_type=jnp.float32)
+    return acc.astype(xp.dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def dcn_fused_conv(xp, w9, kernel, d, taps, out_h, out_w):
+    """Fused bounded-offset DCN: tap sampling + matmul in one Pallas
+    program on TPU (XLA reference elsewhere / for backward).
+
+    Args: xp (N, Hp, Wp, C) zero-padded (pad = d+2) NHWC input; w9
+    (N, T, S, S, H, W) per-term weights where S = 2d+1 (built from the
+    boundary-remapped floors, models/layers.py); kernel (T, C, O) per-tap
+    matmul weights. Statics: d, taps (tuple of (ity, itx)), out_h/out_w.
+    Returns (N, out_h, out_w, O) in xp.dtype.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, hp, wp, c = xp.shape
+    t_, s = w9.shape[1], w9.shape[2]
+    o = kernel.shape[-1]
+    pad = d + 2
+    th = _pick_fused_th(c, out_h, out_w, d, xp.dtype, o)
+    interpret = jax.default_backend() != "tpu"
+    if th is None:
+        if interpret:  # tiny test shapes: any divisor works uncompiled
+            th = next((cand for cand in (32, 16, 8, out_h)
+                       if out_h % cand == 0), out_h)
+        else:
+            return _xla_fused_ref(xp, w9, kernel, d, taps, out_h, out_w)
+    # the band DMA slices the (sublane-tiled) width dim: align it to 8
+    wp_aligned = -(-wp // 8) * 8
+    if wp_aligned != wp:
+        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, wp_aligned - wp), (0, 0)))
+        wp = wp_aligned
+    return pl.pallas_call(
+        partial(_fused_kernel, d=d, taps=taps, th=th, out_w=out_w, pad=pad,
+                out_dtype=xp.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, out_h, out_w, o), xp.dtype),
+        grid=(n, out_h // th),
+        in_specs=[
+            pl.BlockSpec((1, t_, s, s, th, out_w),
+                         lambda i, ht: (i, 0, 0, 0, ht, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # kernel (T, C, O)
+            pl.BlockSpec(memory_space=pltpu.ANY),    # xp stays in HBM
+        ],
+        out_specs=pl.BlockSpec((1, th, out_w, o),
+                               lambda i, ht: (i, ht, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2 * pad, wp, c), xp.dtype),
+            pltpu.VMEM((th + 2 * pad, wp, c), jnp.float32),
+            pltpu.VMEM((th, out_w, c), jnp.float32),
+            pltpu.VMEM((th * out_w, o), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        # v5e has 128 MiB VMEM/core; the default 16 MiB scoped cap rejects
+        # the unrolled term temporaries at small maps (Mosaic allocates a
+        # stack slot per unrolled multiply even with ref accumulators)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(w9, kernel, xp)
+
+
+def _fused_fwd(xp, w9, kernel, d, taps, out_h, out_w):
+    out = dcn_fused_conv(xp, w9, kernel, d, taps, out_h, out_w)
+    return out, (xp, w9, kernel)
+
+
+def _fused_bwd(d, taps, out_h, out_w, res, g):
+    xp, w9, kernel = res
+    # recompute through the XLA formulation: identical math, autodiff
+    # handles every operand (input, per-term weights, matmul kernel)
+    _, vjp = jax.vjp(
+        lambda xp_, w9_, k_: _xla_fused_ref(xp_, w9_, k_, d, taps,
+                                            out_h, out_w),
+        xp, w9, kernel)
+    return vjp(g)
+
+
+dcn_fused_conv.defvjp(_fused_fwd, _fused_bwd)
 
 
 def _fwd(xp, a0, b0, fy, fx, wm, d, taps, out_h, out_w):

@@ -385,3 +385,58 @@ def test_dcn_pallas_sampler_gradients(key, rng):
                              jax.tree_util.tree_leaves(grads["pallas"][0])):
         np.testing.assert_allclose(np.asarray(l_ref), np.asarray(l_fast),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_dcn_fused_sampler_matches_xla_engine(key, rng):
+    """The fused sampling+matmul kernel (interpret mode here) must equal
+    the XLA shift engine exactly — same params, same input, v1 and v2,
+    d=1 and d=2."""
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 4)).astype(np.float32))
+    for version, d in ((1, 1), (2, 1), (2, 2)):
+        ref = DeformableConvBlock(out_channels=3, version=version,
+                                  use_norm=False, act=None,
+                                  max_displacement=d, sampler="xla")
+        fused = DeformableConvBlock(out_channels=3, version=version,
+                                    use_norm=False, act=None,
+                                    max_displacement=d, sampler="fused")
+        variables = ref.init(key, x, train=False)
+        params = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(rng.normal(scale=0.2, size=p.shape),
+                                  p.dtype),
+            variables["params"])
+        y_ref = ref.apply({"params": params}, x, train=False)
+        y_fused = fused.apply({"params": params}, x, train=False)
+        np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_fused),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_dcn_fused_sampler_gradients(key, rng):
+    """custom_vjp backward (XLA recompute) delivers gradients through the
+    fused forward matching the pure-XLA engine."""
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 3)).astype(np.float32))
+    blocks = {
+        s: DeformableConvBlock(out_channels=2, version=2, use_norm=False,
+                               act=None, max_displacement=1, sampler=s)
+        for s in ("xla", "fused")
+    }
+    variables = blocks["xla"].init(key, x, train=False)
+    params = jax.tree_util.tree_map(
+        lambda p: jnp.asarray(rng.normal(scale=0.2, size=p.shape), p.dtype),
+        variables["params"])
+
+    grads = {}
+    for s, block in blocks.items():
+        def loss(p, xin, block=block):
+            return jnp.sum(block.apply({"params": p}, xin, train=False) ** 2)
+
+        gp, gx = jax.grad(loss, argnums=(0, 1))(params, x)
+        grads[s] = (gp, gx)
+    gp_ref, gx_ref = grads["xla"]
+    gp_f, gx_f = grads["fused"]
+    np.testing.assert_allclose(np.asarray(gx_ref), np.asarray(gx_f),
+                               rtol=1e-4, atol=1e-5)
+    for (ka, a), (kb, b) in zip(jax.tree_util.tree_leaves_with_path(gp_ref),
+                                jax.tree_util.tree_leaves_with_path(gp_f)):
+        assert str(ka) == str(kb)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5, err_msg=str(ka))
