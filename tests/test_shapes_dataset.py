@@ -74,3 +74,36 @@ def test_shapes_dataset_determinism(tmp_path):
     a1 = json.load(open(tmp_path / "a" / "train.json"))["annotations"]
     a2 = json.load(open(tmp_path / "b" / "train.json"))["annotations"]
     assert a1 == a2
+
+
+def test_shapes_v2_multiscale_contract(tmp_path):
+    """The v2 benchmark set must populate every COCO area bucket in BOTH
+    splits (the round-4 sets left AP_medium/AP_large at -1 forever), carry
+    20 hue x shape classes, and include iscrowd cluster annotations with
+    in-bounds union boxes."""
+    from make_shapes_dataset import V2_CLASSES, make_shapes_v2_dataset
+
+    meta = make_shapes_v2_dataset(str(tmp_path), n_images=40, seed=7)
+    assert len(V2_CLASSES) == 20
+    crowd_total = 0
+    for split in ("train", "val"):
+        with open(os.path.join(str(tmp_path), f"{split}.json")) as f:
+            d = json.load(f)
+        assert len(d["categories"]) == 20
+        areas = [a["area"] for a in d["annotations"] if not a["iscrowd"]]
+        assert any(a < 32 ** 2 for a in areas), f"{split}: no small objects"
+        assert any(32 ** 2 <= a < 96 ** 2 for a in areas), \
+            f"{split}: no medium objects"
+        assert any(a >= 96 ** 2 for a in areas), f"{split}: no large objects"
+        for a in d["annotations"]:
+            x, y, w, h = a["bbox"]
+            assert 0 <= x and 0 <= y and x + w <= 256 and y + h <= 256
+            assert 1 <= a["category_id"] <= 20
+            crowd_total += a["iscrowd"]
+        # images decode at the declared size
+        import cv2
+
+        img = cv2.imread(os.path.join(meta["img_dir"],
+                                      d["images"][0]["file_name"]))
+        assert img.shape == (256, 256, 3)
+    assert crowd_total > 0, "no iscrowd cluster regions generated"

@@ -80,20 +80,48 @@ ARMS = {
     "ida": {"box_loss": "GIoULoss", "box_loss_weight": 5.0,
             "center_sampling_size": 3, "neck": "IDA",
             "neck_config": {"out_channels": 64}},
+    # ------------------------------------------------------------------
+    # v2 suite: the neck-family retest on the multi-scale 20-class 256^2
+    # benchmark set (make_shapes_dataset --v2) — the round-4 neck
+    # comparison ran on a single-scale 3-class set where cross-scale
+    # fusion had no signal (recorded negative result); v2 populates all
+    # three COCO area buckets so AP_medium/AP_large are real numbers and
+    # BiFPN/IDA capacity can actually show up. Same giou_cs recipe, only
+    # the neck varies. Reference anchor: docs/experiments.md:50-60.
+    # ------------------------------------------------------------------
+    "v2_fpn": {"box_loss": "GIoULoss", "box_loss_weight": 5.0,
+               "center_sampling_size": 3},
+    "v2_weighted": {"box_loss": "GIoULoss", "box_loss_weight": 5.0,
+                    "center_sampling_size": 3,
+                    "neck_config": {"out_channels": 64, "weighted": True}},
+    "v2_bifpn": {"box_loss": "GIoULoss", "box_loss_weight": 5.0,
+                 "center_sampling_size": 3, "neck": "BiFPN",
+                 "neck_config": {"out_channels": 64}},
+    "v2_ida": {"box_loss": "GIoULoss", "box_loss_weight": 5.0,
+               "center_sampling_size": 3, "neck": "IDA",
+               "neck_config": {"out_channels": 64}},
+}
+
+SUITES = {
+    "v1": [a for a in ARMS if not a.startswith("v2_")],
+    "v2": [a for a in ARMS if a.startswith("v2_")],
 }
 
 # reference-measured anchors for the report (COCO / VOC mAP)
 REF = {"l1": 18.6, "giou": 34.6, "giou_cs": 37.3, "ttfnet": 37.2,
-       "dcn": 37.5, "weighted_fpn": 26.3, "bifpn": 32.1, "ida": 27.6}
+       "dcn": 37.5, "weighted_fpn": 26.3, "bifpn": 32.1, "ida": 27.6,
+       "v2_fpn": 25.8, "v2_weighted": 26.3, "v2_bifpn": 32.1,
+       "v2_ida": 27.6}
 
 DATASET_SEED = 7  # one fixed dataset for every arm
 
 
-def ensure_dataset(out: str) -> str:
+def ensure_dataset(out: str, v2: bool = False) -> str:
     """A harder shapes set than the smoke one: 300 images, 2-6 shapes each
     (small objects included), so sloppy box regression actually costs mAP.
+    v2: the multi-scale 20-class 256^2 benchmark set (separate root).
     CENTERNET_TPU_SMOKE_DATASET=1 shrinks it to 24 images (CPU test tier)."""
-    root = os.path.join(out, "shapes")
+    root = os.path.join(out, "shapes_v2" if v2 else "shapes")
     n_images = 24 if os.environ.get("CENTERNET_TPU_SMOKE_DATASET") else 300
     # the size marker prevents a stale smoke (24-image) set left in --out
     # from being silently reused by a real run (or vice versa): arm results
@@ -116,11 +144,17 @@ def ensure_dataset(out: str) -> str:
                 f"needs {n_images} images; delete it (or use a different "
                 f"--out) before re-running")
         return root
-    from tools.make_shapes_dataset import make_shapes_dataset
+    from tools.make_shapes_dataset import (
+        make_shapes_dataset, make_shapes_v2_dataset,
+    )
 
-    make_shapes_dataset(root, n_images=n_images, size=128, min_shapes=2,
-                        max_shapes=6, val_fraction=0.2,
-                        seed=DATASET_SEED)
+    if v2:
+        make_shapes_v2_dataset(root, n_images=n_images, val_fraction=0.2,
+                               seed=DATASET_SEED)
+    else:
+        make_shapes_dataset(root, n_images=n_images, size=128, min_shapes=2,
+                            max_shapes=6, val_fraction=0.2,
+                            seed=DATASET_SEED)
     with open(marker, "w") as f:
         f.write(str(n_images))
     return root
@@ -137,7 +171,9 @@ def run_arm(arm: str, seed: int, out: str, epochs: int) -> dict:
     )
 
     enable_compilation_cache()
-    root = ensure_dataset(out)
+    v2 = arm.startswith("v2_")
+    img = 256 if v2 else 128
+    root = ensure_dataset(out, v2=v2)
     on_tpu = jax.devices()[0].platform != "cpu"
 
     train_data = {
@@ -147,7 +183,9 @@ def run_arm(arm: str, seed: int, out: str, epochs: int) -> dict:
             {"name": "HorizontalFlip"},
             {"name": "ColorJitter",
              "init_args": {"brightness": 0.3, "contrast": 0.3,
-                           "saturation": 0.3}},
+                           # v2 classes are hue-coded: hue/saturation jitter
+                           # would relabel objects
+                           "saturation": 0.0 if v2 else 0.3}},
             {"name": "Normalize"},
         ],
     }
@@ -155,16 +193,16 @@ def run_arm(arm: str, seed: int, out: str, epochs: int) -> dict:
         "type": "coco", "img_dir": os.path.join(root, "images"),
         "ann_json": os.path.join(root, "val.json"), "batch_size": 16,
         "transforms": [{"name": "Resize",
-                        "init_args": {"height": 128, "width": 128}},
+                        "init_args": {"height": img, "width": img}},
                        {"name": "Normalize"}],
     }
 
     kwargs = dict(
-        num_classes=3, backbone="resnet18", neck="FPN",
+        num_classes=20 if v2 else 3, backbone="resnet18", neck="FPN",
         neck_config={"out_channels": 64},
         head_config={"width": 64, "depth": 2},
         box_log=True, box_multiplier=4.0, heatmap_target="cornernet",
-        num_detections=50, image_size=(128, 128),
+        num_detections=100 if v2 else 50, image_size=(img, img),
     )
     kwargs.update(ARMS[arm])
 
@@ -180,7 +218,7 @@ def run_arm(arm: str, seed: int, out: str, epochs: int) -> dict:
                           "lr_scheduler": {"name": "CosineAnnealingLR"}},
         ckpt_dir=os.path.join(workdir, "checkpoints"),
         log_dir=os.path.join(workdir, "logs"),
-        image_size=(128, 128),
+        image_size=(img, img),
         seed=seed,
         resume=False,
         diagnostics=False,
@@ -274,6 +312,10 @@ def main():
     p.add_argument("--all", action="store_true",
                    help="run every arm x seed sequentially, one subprocess "
                         "each (fresh XLA client per compile pair)")
+    p.add_argument("--suite", choices=sorted(SUITES), default="v1",
+                   help="--all arm set: v1 = the reference recipe grid "
+                        "(128^2, 3 classes); v2 = the neck retest on the "
+                        "multi-scale 20-class 256^2 benchmark set")
     p.add_argument("--report", action="store_true")
     args = p.parse_args()
 
@@ -282,7 +324,7 @@ def main():
         report(args.out)
     elif args.all:
         missing = []
-        for arm in ARMS:
+        for arm in SUITES[args.suite]:
             for seed in range(args.seeds):
                 if os.path.exists(
                         os.path.join(args.out, f"{arm}_s{seed}.json")):
@@ -290,8 +332,11 @@ def main():
                     continue
                 # the dcn arm's gather-engine step is ~2x the others
                 # (measured: 40 epochs ~900s wall vs ~450s) — 850s SIGTERMs
-                # it at step ~583/600 even on a cache-hit attempt
-                budget = args.arm_timeout * (2.0 if arm == "dcn" else 1.0)
+                # it at step ~583/600 even on a cache-hit attempt. v2 arms
+                # run at 4x the pixels (256^2): 2.5x budget
+                budget = args.arm_timeout * (
+                    2.0 if arm == "dcn"
+                    else 2.5 if arm.startswith("v2_") else 1.0)
                 if not run_arm_subprocess(arm, seed, args.out, args.epochs,
                                           budget):
                     missing.append(f"{arm}_s{seed}")
