@@ -286,10 +286,13 @@ def _fused_vmem_need(c: int, h: int, w: int, d: int, dtype,
 def _pick_fused_th(c: int, h: int, w: int, d: int, dtype,
                    out_channels: int) -> Optional[int]:
     """Largest row tile dividing h whose working set fits VMEM."""
+    # budget 40 MB: the pallas_call passes vmem_limit_bytes=100 MiB (v5e
+    # has 128 MiB VMEM); the estimate below undercounts Mosaic's unrolled
+    # stack temporaries ~2x, so keep real headroom
     for cand in (32, 16, 8):
         if h % cand == 0 and _fused_vmem_need(
                 c, h, w, d, dtype, out_channels,
-                min(h, cand)) <= 13 * 1024 * 1024:
+                min(h, cand)) <= 40 * 1024 * 1024:
             return min(h, cand)
     return None
 
