@@ -58,9 +58,12 @@ def main():
             num_classes=num_classes, backbone="resnet34",
             neck="FPN", neck_config={"out_channels": 256},
             head_config={"width": 256, "depth": 3},
-            num_detections=k, precision="bf16",
+            num_detections=k,
         )
         variables = task.init(jax.random.PRNGKey(0), image_size=(512, 512))
+        variables = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, variables)
         tx = make_optimizer(variables["params"], optimizer="AdamW", lr=1e-3,
                             max_epochs=1, steps_per_epoch=10,
                             warmup_epochs=0)
@@ -129,9 +132,12 @@ def main():
     metrics_total_s = time.perf_counter() - t0
     metrics_ms = metrics_total_s / n_images * 1e3
 
-    host_total_ms = host_ms + metrics_ms
-    projected = (1e3 / max(device_ms, host_total_ms)
-                 if device_ms else 1e3 / host_total_ms)
+    # per-image work pipelines (device forward of batch i+1 overlaps host
+    # accumulation of batch i — trainer.validate_detection); the COCOeval
+    # protocol runs once at epoch end and cannot overlap anything
+    per_img_ms = (max(device_ms, host_ms) if device_ms else host_ms)
+    epoch_s = n_images * per_img_ms / 1e3 + metrics_total_s
+    projected = n_images / epoch_s
 
     print(json.dumps({
         "metric": f"eval_epoch_projected_img_s 512x512 b{batch_size} "
@@ -144,8 +150,9 @@ def main():
             "metrics_epoch_s": round(metrics_total_s, 2),
             "metrics_ms_per_img": round(metrics_ms, 4),
             "mAP_sanity": round(float(metrics["mAP"]), 4),
-            "bound_by": ("device" if device_ms and device_ms > host_total_ms
-                         else "host"),
+            "bound_by": ("device" if device_ms and device_ms > host_ms
+                         else "host-accum") if metrics_total_s < epoch_s / 2
+            else "epoch-end-metrics",
         },
     }))
 

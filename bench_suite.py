@@ -163,10 +163,27 @@ def bench_config(name: str, kwargs: dict, batch_size: int, on_tpu: bool):
     iters = (2, 12) if on_tpu else (1, 3)
     sec = timed_loop(lambda n: loop(variables, images, n), *iters)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
+    mfu = flops = None
+    if os.environ.get("BENCH_MFU"):
+        # XLA cost-analysis FLOPs of ONE forward+decode step -> MFU vs the
+        # v5e bf16 MXU peak (the profile_train.py method, serving shape)
+        try:
+            step = jax.jit(forward_decode).lower(
+                variables, preprocess(images, dtype=dtype)).compile()
+            ca = step.cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            flops = float(ca.get("flops", 0.0)) or None
+            if flops and on_tpu:
+                peak = 197e12 if dtype == jnp.bfloat16 else 98.5e12
+                mfu = round(flops / sec / peak, 4)
+        except Exception as exc:  # cost analysis is best-effort
+            print(f"cost_analysis failed: {exc}", flush=True)
     return {
         "config": name,
         "images_per_sec": round(batch_size / sec, 2),
         "sec_per_batch": round(sec, 5),
+        **({"xla_flops_per_batch": flops, "mfu_vs_bf16_peak": mfu}
+           if flops else {}),
         "batch_size": batch_size,
         "params_m": round(n_params / 1e6, 1),
         "dtype": str(dtype.__name__ if hasattr(dtype, "__name__") else dtype),
