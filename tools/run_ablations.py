@@ -303,7 +303,10 @@ def main():
     p.add_argument("--out", required=True)
     p.add_argument("--arm", choices=sorted(ARMS))
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--epochs", type=int, default=40)
+    p.add_argument("--epochs", type=int, default=None,
+                   help="default 40 (v1 arms) / 110 (v2 arms: the 20-class "
+                        "multi-scale task needs ~2.7x the optimization "
+                        "budget — 40 epochs measured mAP 0.005, noise)")
     p.add_argument("--seeds", type=int, default=2, help="seeds per arm (--all)")
     p.add_argument("--arm-timeout", type=float, default=850.0,
                    help="per-arm wall budget in seconds (--all); SIGTERM + "
@@ -337,7 +340,9 @@ def main():
                 budget = args.arm_timeout * (
                     2.0 if arm == "dcn"
                     else 2.5 if arm.startswith("v2_") else 1.0)
-                if not run_arm_subprocess(arm, seed, args.out, args.epochs,
+                epochs = args.epochs or (
+                    110 if arm.startswith("v2_") else 40)
+                if not run_arm_subprocess(arm, seed, args.out, epochs,
                                           budget):
                     missing.append(f"{arm}_s{seed}")
         report(args.out)
@@ -346,7 +351,8 @@ def main():
                   "--all to resume (finished arms are skipped)")
             sys.exit(4)
     elif args.arm:
-        run_arm(args.arm, args.seed, args.out, args.epochs)
+        run_arm(args.arm, args.seed, args.out,
+                args.epochs or (110 if args.arm.startswith("v2_") else 40))
     else:
         p.error("one of --arm / --all / --report is required")
 
