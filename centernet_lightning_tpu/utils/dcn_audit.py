@@ -24,6 +24,7 @@ _ENGINE_D = {
     "dcn": None, "deformable": None,
     "dcn_fast": 2, "dcn_fast_d1": 1, "dcn_fast_d2": 2,
     "dcn_fast_d3": 3, "dcn_fast_d4": 4,
+    "dcn_fused_d1": 1, "dcn_fused_d2": 2,
 }
 
 
