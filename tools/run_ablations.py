@@ -229,7 +229,11 @@ def run_arm(arm: str, seed: int, out: str, epochs: int) -> dict:
         log_dir=os.path.join(workdir, "logs"),
         image_size=(img, img),
         seed=seed,
-        resume=False,
+        # resume from the arm's OWN workdir: the preemption SIGTERM handler
+        # checkpoints, so a budget-killed or tunnel-frozen attempt continues
+        # where it stopped instead of restarting (workdirs are per arm+seed,
+        # so no cross-recipe contamination)
+        resume=True,
         diagnostics=False,
         precision="bf16" if on_tpu else None,
         log_every=15,  # == steps/epoch: one images_per_sec line per epoch
