@@ -94,6 +94,11 @@ def main():
         # raw bf16 outputs flow straight into decode (logits path): the
         # NHWC kernel consumes them natively — no full-map widen/re-layout
         heatmap, box = out["heatmap"], out["box_2d"]
+        if os.environ.get("BENCH_BARRIER"):
+            # layout-fusion experiment: stop XLA from fusing the decode
+            # consumers' exotic operand layouts (N-minor box gather operand,
+            # NCHW s32 heatmap) into the head out_convs' writes
+            heatmap, box = jax.lax.optimization_barrier((heatmap, box))
         if use_pallas:
             return decode_detections_pallas(
                 heatmap, box, num_detections=task.num_detections,

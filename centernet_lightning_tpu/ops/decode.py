@@ -123,8 +123,19 @@ def gather_and_decode_boxes(
     cx = (indices % w).astype(jnp.float32) + 0.5
     cy = (indices // w).astype(jnp.float32) + 0.5
 
-    flat = box_offsets.reshape(n, h * w, 4)
-    offsets = jnp.take_along_axis(flat, indices[..., None], axis=1)  # (N, k, 4)
+    import os as _os
+
+    if _os.environ.get("CENTERNET_TPU_GATHER") == "global":
+        # experiment: global-row gather on the (N*HW, 4) flattening — probes
+        # whether XLA's batched-gather operand layout (N-minor, the 3.4 ms
+        # box-conv write in the int8 trace) is formulation-dependent
+        flat = box_offsets.reshape(n * h * w, 4)
+        glob = indices.astype(jnp.int32) + (
+            jnp.arange(n, dtype=jnp.int32)[:, None] * (h * w))
+        offsets = jnp.take(flat, glob, axis=0)  # (N, k, 4)
+    else:
+        flat = box_offsets.reshape(n, h * w, 4)
+        offsets = jnp.take_along_axis(flat, indices[..., None], axis=1)  # (N, k, 4)
     # box math is always f32: gather the k bf16 values first (cheap), then
     # widen — callers may pass the model's bf16 output directly
     offsets = offsets.astype(jnp.float32)
